@@ -1,0 +1,244 @@
+"""Diffusion transition head: stacked GRU + zero-init output projection that
+emits per-step Gaussian transition parameters (mu, Cholesky L), and the fused
+path sampler that rolls the Euler recurrence
+``z_{t+1} = z_t + mu_t*dt + (L_t @ eps_t)*sqrt(dt)``.
+
+Parity targets:
+- module semantics: reference ``models/head.py:20-209`` (GRU with input
+  ``[z_t, context_t, theta]``, PyTorch gate order r,z,n; ``out_proj`` zero-init
+  with diag-bias 1.0 at index ``D + k(k+3)/2``; Cholesky diag clamped by
+  ``lower_bound(., DIAG_MIN)``);
+- fused sampler semantics: reference Triton ``kernels/forward.py:91-376`` /
+  ``kernels/backward.py:156-624`` — here a single ``lax.scan`` whose BPTT
+  gradient is derived by JAX (replacing the hand-written backward kernel), with
+  an optional Pallas fused kernel for the hot path.
+
+TPU-first design (SURVEY §7.3 item 2): the theta and context input projections
+are constant-per-path / precomputable, so they are hoisted OUT of the
+recurrence as one large ``[B*T, C] @ [C, 3H]`` MXU matmul (the reference's
+Triton kernel hoists theta only, ``forward.py:157-175``, and re-projects the
+context every step with scalar loops). The in-loop work is then just the tiny
+state projection plus the ``[B,H] @ [H,3H]`` recurrent matmul per layer. The
+recurrence runs in fp32 (ref ``kernels/autograd.py:80-87``) no matter the
+encoder compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viforsdes_tpu.config import HeadConfig
+from viforsdes_tpu.inference.constants import DIAG_MIN
+from viforsdes_tpu.ops.bounds import lower_bound
+from viforsdes_tpu.ops.initializers import fan_in_uniform_init
+
+Array = jax.Array
+
+
+def _gru_cell(
+    gates_in: Array,  # [B, 3H] input contribution incl. b_ih
+    h: Array,  # [B, H]
+    w_hh: Array,  # [H, 3H]
+    b_hh: Array,  # [3H]
+) -> Array:
+    """Standard (PyTorch-semantics) GRU cell, gate order r,z,n.
+
+    r = sig(gi_r + gh_r); z = sig(gi_z + gh_z); n = tanh(gi_n + r*gh_n);
+    h' = (1-z)*n + z*h  (ref ``kernels/forward.py:83-88``).
+    """
+    hidden = h.shape[-1]
+    gh = h @ w_hh + b_hh
+    gi_r, gi_z, gi_n = jnp.split(gates_in, 3, axis=-1)
+    gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(gi_r + gh_r)
+    z = jax.nn.sigmoid(gi_z + gh_z)
+    n = jnp.tanh(gi_n + r * gh_n)
+    del hidden
+    return (1.0 - z) * n + z * h
+
+
+class DiffusionTransitionHead:
+    """Static-config head; params live in an explicit pytree."""
+
+    def __init__(
+        self,
+        state_dim: int,
+        context_dim: int,
+        sde_param_dim: int,
+        config: HeadConfig,
+    ) -> None:
+        if config.num_layers < 1:
+            raise ValueError(f"num_layers must be >= 1, got {config.num_layers}")
+        self.state_dim = state_dim
+        self.context_dim = context_dim
+        self.sde_param_dim = sde_param_dim
+        self.hidden_dim = config.hidden_dim
+        self.num_layers = config.num_layers
+        self.n_tril = state_dim * (state_dim + 1) // 2
+        self.input_dim = state_dim + context_dim + sde_param_dim
+
+        rows, cols = np.tril_indices(state_dim)
+        self.tril_rows = rows
+        self.tril_cols = cols
+        self.diag_mask = jnp.asarray(rows == cols)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: Array) -> dict:
+        """GRU weights U(+-1/sqrt(H)) (torch GRU default); out_proj zero-init
+        with Cholesky-diag bias 1.0 (ref ``head.py:60-66``)."""
+        keys = jax.random.split(key, 4 * self.num_layers)
+        h = self.hidden_dim
+        gru = []
+        for layer in range(self.num_layers):
+            in_dim = self.input_dim if layer == 0 else h
+            k = keys[4 * layer : 4 * layer + 4]
+            bound = 1.0 / (h**0.5)
+            gru.append(
+                {
+                    # stored [in, 3H] so the apply is x @ W (fan-in-of-H init
+                    # regardless of in_dim, matching torch GRU).
+                    "w_ih": jax.random.uniform(k[0], (in_dim, 3 * h), jnp.float32, -bound, bound),
+                    "w_hh": fan_in_uniform_init(k[1], (h, 3 * h)),
+                    "b_ih": jax.random.uniform(k[2], (3 * h,), jnp.float32, -bound, bound),
+                    "b_hh": jax.random.uniform(k[3], (3 * h,), jnp.float32, -bound, bound),
+                }
+            )
+        out_b = np.zeros(self.state_dim + self.n_tril, dtype=np.float32)
+        for kk in range(self.state_dim):
+            out_b[self.state_dim + kk * (kk + 3) // 2] = 1.0
+        return {
+            "gru": gru,
+            "out_proj": {
+                "w": jnp.zeros((h, self.state_dim + self.n_tril), jnp.float32),
+                "b": jnp.asarray(out_b),
+            },
+        }
+
+    # ------------------------------------------------------------ tril build
+
+    def tril_from_params(self, params_tril: Array) -> Array:
+        """``[..., n_tril] -> [..., D, D]`` lower-triangular with clamped diag
+        (ref ``head.py:88-97``)."""
+        processed = jnp.where(
+            self.diag_mask, lower_bound(params_tril, DIAG_MIN), params_tril
+        )
+        out_shape = params_tril.shape[:-1] + (self.state_dim, self.state_dim)
+        L = jnp.zeros(out_shape, params_tril.dtype)
+        return L.at[..., self.tril_rows, self.tril_cols].set(processed)
+
+    # -------------------------------------------------------- step-wise path
+
+    def forward(
+        self,
+        params: dict,
+        x_t: Array,
+        context_t: Array,
+        sde_parameters: Array,
+        hidden: Array | None = None,
+    ) -> tuple[Array, Array, Array]:
+        """Single eager step (the unit-test oracle; ref ``head.py:68-86``).
+
+        hidden: ``[L, B, H]`` or None -> zeros. Returns (mu, L, hidden').
+        """
+        batch = x_t.shape[0]
+        if hidden is None:
+            hidden = jnp.zeros((self.num_layers, batch, self.hidden_dim), jnp.float32)
+        inp = jnp.concatenate([x_t, context_t, sde_parameters], axis=-1)
+        new_hidden = []
+        h_in = inp
+        for layer, p in enumerate(params["gru"]):
+            gates_in = h_in @ p["w_ih"] + p["b_ih"]
+            h_new = _gru_cell(gates_in, hidden[layer], p["w_hh"], p["b_hh"])
+            new_hidden.append(h_new)
+            h_in = h_new
+        out = h_in @ params["out_proj"]["w"] + params["out_proj"]["b"]
+        mu = out[..., : self.state_dim]
+        L = self.tril_from_params(out[..., self.state_dim :])
+        return mu, L, jnp.stack(new_hidden)
+
+    # ------------------------------------------------------- fused (scan) path
+
+    def sample_diffusion_paths(
+        self,
+        params: dict,
+        x0: Array,
+        context: Array,
+        sde_parameters: Array,
+        standard_noise: Array,
+        time_step: float,
+    ) -> tuple[Array, Array, Array]:
+        """Roll the full path: ``(z0 [B,D], context [B,T,C], theta [B,P],
+        eps [B,T,D]) -> (paths [B,T+1,D], means [B,T,D], chol [B,T,D,D])``.
+
+        Functional replacement for ``_SDEFunction.apply`` + both Triton kernels
+        (ref ``kernels/autograd.py:35-268``). fp32 throughout.
+        """
+        batch, n_steps, _ = context.shape
+        d = self.state_dim
+        h = self.hidden_dim
+        dt = jnp.float32(time_step)
+        sqrt_dt = jnp.float32(time_step**0.5)
+
+        x0 = x0.astype(jnp.float32)
+        context = context.astype(jnp.float32)
+        theta = sde_parameters.astype(jnp.float32)
+        noise = standard_noise.astype(jnp.float32)
+
+        p0 = params["gru"][0]
+        w_ih0 = p0["w_ih"].astype(jnp.float32)
+        # Split layer-0 input weights by input segment [state | context | theta].
+        w_x = w_ih0[:d]
+        w_c = w_ih0[d : d + self.context_dim]
+        w_t = w_ih0[d + self.context_dim :]
+
+        # Hoist the context/theta projections out of the recurrence: one big
+        # MXU matmul over [B*T, C] plus a rank-1-ish theta term (constant in t).
+        gates_const = (
+            jnp.einsum("btc,ch->bth", context, w_c)
+            + (theta @ w_t)[:, None, :]
+            + p0["b_ih"].astype(jnp.float32)
+        )
+
+        # Time-major for the scan.
+        gates_const_t = jnp.swapaxes(gates_const, 0, 1)  # [T, B, 3H]
+        noise_t = jnp.swapaxes(noise, 0, 1)  # [T, B, D]
+
+        deeper = [
+            {k: v.astype(jnp.float32) for k, v in p.items()} for p in params["gru"][1:]
+        ]
+        w_hh0 = p0["w_hh"].astype(jnp.float32)
+        b_hh0 = p0["b_hh"].astype(jnp.float32)
+        w_out = params["out_proj"]["w"].astype(jnp.float32)
+        b_out = params["out_proj"]["b"].astype(jnp.float32)
+
+        h0 = jnp.zeros((self.num_layers, batch, h), jnp.float32)
+
+        def step(carry, inputs):
+            x, hs = carry
+            g_const, eps_t = inputs
+
+            gates_in = g_const + x @ w_x
+            h_new0 = _gru_cell(gates_in, hs[0], w_hh0, b_hh0)
+            new_hs = [h_new0]
+            h_in = h_new0
+            for li, p in enumerate(deeper):
+                gates_l = h_in @ p["w_ih"] + p["b_ih"]
+                h_new = _gru_cell(gates_l, hs[li + 1], p["w_hh"], p["b_hh"])
+                new_hs.append(h_new)
+                h_in = h_new
+
+            out = h_in @ w_out + b_out
+            mu = out[..., :d]
+            L = self.tril_from_params(out[..., d:])
+            x_next = x + mu * dt + jnp.einsum("bij,bj->bi", L, eps_t) * sqrt_dt
+            return (x_next, jnp.stack(new_hs)), (x_next, mu, L)
+
+        (_, _), (xs, mus, Ls) = jax.lax.scan(step, (x0, h0), (gates_const_t, noise_t))
+
+        paths = jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+        means = jnp.swapaxes(mus, 0, 1)
+        cholesky = jnp.swapaxes(Ls, 0, 1)
+        return paths, means, cholesky

@@ -1,0 +1,82 @@
+"""Checkpoint serialization: params pytrees <-> flat npz archives.
+
+Replaces the reference's ``torch.save``/``weights_only=True`` checkpoint
+(``posterior/variational_posterior.py:150-192``) with a pickle-free format:
+a single ``.npz`` holding every leaf under its tree path plus a JSON metadata
+blob. Loading validates structure against a template pytree (the analog of the
+reference's pydantic checkpoint model).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+_META_KEY = "__viforsdes_meta__"
+_SEP = "/"
+
+
+def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_paths:
+        key = prefix + _SEP.join(_path_element(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_element(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    return str(p)
+
+
+def unflatten_like(template: Any, flat: dict[str, np.ndarray], prefix: str = "") -> Any:
+    """Rebuild a pytree with ``template``'s structure from a flat mapping."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_and_leaves:
+        key = prefix + _SEP.join(_path_element(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing array for {key!r}")
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"checkpoint shape mismatch at {key!r}: "
+                f"{arr.shape} vs expected {np.shape(leaf)}"
+            )
+        leaves.append(jax.numpy.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(path: str | Path, trees: dict[str, Any], metadata: dict) -> None:
+    """Save named pytrees + JSON metadata into one ``.npz``."""
+    flat: dict[str, np.ndarray] = {}
+    for name, tree in trees.items():
+        flat.update(flatten_pytree(tree, prefix=name + _SEP))
+    flat[_META_KEY] = np.frombuffer(
+        json.dumps(metadata).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(Path(path), **flat)
+
+
+def load_checkpoint(
+    path: str | Path, templates: dict[str, Any]
+) -> tuple[dict[str, Any], dict]:
+    """Load named pytrees (validated against templates) + metadata."""
+    with np.load(Path(path)) as archive:
+        flat = {k: archive[k] for k in archive.files}
+    if _META_KEY not in flat:
+        raise ValueError("not a viforsdes checkpoint: missing metadata blob")
+    metadata = json.loads(bytes(flat.pop(_META_KEY)).decode("utf-8"))
+    trees = {
+        name: unflatten_like(template, flat, prefix=name + _SEP)
+        for name, template in templates.items()
+    }
+    return trees, metadata
