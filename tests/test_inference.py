@@ -1,0 +1,229 @@
+"""Inference-layer tests: ELBO math, EMA, trainer step, pretrain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from viforsdes_tpu.config import EncoderConfig, HeadConfig, PretrainConfig, TrainingConfig
+from viforsdes_tpu.core.observations import GaussianObservationLikelihood, Observations
+from viforsdes_tpu.core.priors import Prior, PriorType
+from viforsdes_tpu.core.sde import make_sde
+from viforsdes_tpu.core.state_space import StateSpace
+from viforsdes_tpu.inference.elbo import (
+    compute_evidence_lower_bound,
+    gaussian_log_prob,
+    observation_indices,
+    tril_solve_unrolled,
+)
+from viforsdes_tpu.inference.ema import ema_init, ema_update
+from viforsdes_tpu.inference.trainer import VariationalInferenceTrainer
+from viforsdes_tpu.inference.types import DiffusionPathSample
+from viforsdes_tpu.models.theta_posterior import ThetaPosterior
+from viforsdes_tpu.utils.console import Console
+
+
+def _ou_sde():
+    return make_sde(
+        drift=lambda x, p: p[..., 0:1] * (p[..., 1:2] - x),
+        diffusion=lambda x, p: p[..., 2:3][..., None],
+        state_dim=1,
+        sde_param_dim=3,
+    )
+
+
+class TestGaussianLogProb:
+    def test_tril_solve(self):
+        rng = np.random.default_rng(0)
+        L = np.tril(rng.normal(size=(5, 3, 3))) + 3 * np.eye(3)
+        b = rng.normal(size=(5, 3))
+        got = np.asarray(tril_solve_unrolled(jnp.asarray(L), jnp.asarray(b)))
+        want = np.stack([np.linalg.solve(L[i], b[i]) for i in range(5)])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_matches_scipy_mvn(self):
+        rng = np.random.default_rng(1)
+        B, T, D = 2, 4, 3
+        A = rng.normal(size=(B, T, D, D))
+        L = np.tril(A) + 2 * np.eye(D)
+        mu = rng.normal(size=(B, T, D))
+        x = rng.normal(size=(B, T, D))
+        got = np.asarray(gaussian_log_prob(jnp.asarray(x), jnp.asarray(mu), jnp.asarray(L)))
+        want = np.zeros(B)
+        for b in range(B):
+            for t in range(T):
+                cov = L[b, t] @ L[b, t].T
+                want[b] += scipy.stats.multivariate_normal.logpdf(x[b, t], mu[b, t], cov)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestObservationIndices:
+    def test_rounding_and_clamp(self):
+        idx = observation_indices(np.asarray([0.0, 0.999, 2.0, 5.0]), 0.5, 8)
+        np.testing.assert_array_equal(idx, [0, 2, 4, 8])
+
+
+class TestElbo:
+    def test_manual_composition(self):
+        """ELBO == obs + sde - gen + jac + prior - posterior, averaged."""
+        sde = _ou_sde()
+        obs = Observations(times=[0.0, 0.2], values=[[1.0], [0.5]])
+        lik = GaussianObservationLikelihood(variance=0.5)
+        prior = Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3)
+        tp = ThetaPosterior(3, [0])
+        tparams = tp.init()
+        ss = StateSpace(1, [0])
+
+        B, T = 3, 2
+        key = jax.random.key(0)
+        z = jnp.abs(jax.random.normal(key, (B, T + 1, 1))) + 0.5
+        means = 0.1 * jax.random.normal(jax.random.key(1), (B, T, 1))
+        chols = jnp.abs(jax.random.normal(jax.random.key(2), (B, T, 1, 1))) + 0.5
+        theta = jnp.abs(jax.random.normal(jax.random.key(3), (B, 3))) + 0.5
+        sample = DiffusionPathSample(z=z, transition_means=means, transition_cholesky=chols, state_space=ss)
+        dt = 0.1
+        obs_idx = observation_indices(np.asarray([0.0, 0.2]), dt, T)
+
+        res = compute_evidence_lower_bound(
+            sde, obs, lik, prior, tp, tparams, theta, sample, dt, obs_indices=obs_idx
+        )
+
+        x = ss.to_state(z)
+        drift = sde.drift(x[:, :-1], jnp.broadcast_to(theta[:, None], (B, T, 3)))
+        diff = sde.diffusion(x[:, :-1], jnp.broadcast_to(theta[:, None], (B, T, 3)))
+        sde_lp = gaussian_log_prob(x[:, 1:], x[:, :-1] + drift * dt, diff * dt**0.5)
+        gen_lp = gaussian_log_prob(z[:, 1:], z[:, :-1] + means * dt, chols * dt**0.5)
+        jac = ss.log_jacobian(z[:, 1:]).sum(-1)
+        obs_lp = lik.log_prob(
+            jnp.broadcast_to(obs.values[None], (B, 2, 1)), x[:, obs_idx]
+        ).sum(-1)
+        want = (
+            obs_lp + sde_lp - gen_lp + jac + prior.log_prob(theta) - tp.log_prob(tparams, theta)
+        ).mean()
+        np.testing.assert_allclose(float(res.evidence_lower_bound), float(want), rtol=1e-5)
+
+    def test_components_sum_diagnostic(self):
+        """The five logged components are each finite batch means."""
+        # covered implicitly above; check finiteness on a quick run
+        sde = _ou_sde()
+        obs = Observations(times=[0.0], values=[[1.0]])
+        lik = GaussianObservationLikelihood(variance=0.5)
+        prior = Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3)
+        tp = ThetaPosterior(3, [])
+        ss = StateSpace(1)
+        z = jax.random.normal(jax.random.key(0), (2, 3, 1))
+        sample = DiffusionPathSample(
+            z=z,
+            transition_means=jnp.zeros((2, 2, 1)),
+            transition_cholesky=jnp.ones((2, 2, 1, 1)),
+            state_space=ss,
+        )
+        res = compute_evidence_lower_bound(
+            sde, obs, lik, prior, tp, tp.init(),
+            jnp.abs(jax.random.normal(jax.random.key(1), (2, 3))) + 0.5,
+            sample, 0.1, obs_indices=np.asarray([0]),
+        )
+        for v in res.components:
+            assert bool(jnp.isfinite(v))
+
+
+class TestEma:
+    def test_update_math(self):
+        params = {"a": jnp.asarray([1.0]), "b": {"c": jnp.asarray([2.0])}}
+        ema = ema_init(params)
+        new_params = {"a": jnp.asarray([2.0]), "b": {"c": jnp.asarray([0.0])}}
+        ema2 = ema_update(ema, new_params, decay=0.9)
+        np.testing.assert_allclose(float(ema2["a"][0]), 0.9 * 1.0 + 0.1 * 2.0)
+        np.testing.assert_allclose(float(ema2["b"]["c"][0]), 0.9 * 2.0 + 0.1 * 0.0)
+
+    def test_init_copies(self):
+        params = {"a": jnp.asarray([1.0])}
+        ema = ema_init(params)
+        assert ema["a"] is not params["a"]
+
+
+def _make_trainer(n_iterations=5, pretrain=False, **kwargs):
+    sde = _ou_sde()
+    obs = Observations(times=[0.0, 1.0, 2.0], values=[[2.0], [1.5], [0.8]])
+    return VariationalInferenceTrainer(
+        sde=sde,
+        observations=obs,
+        observation_likelihood=GaussianObservationLikelihood(variance=0.1),
+        prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+        time_horizon=2.0,
+        config=TrainingConfig(time_step=0.25, batch_size=8, n_iterations=n_iterations),
+        encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+        head_config=HeadConfig(hidden_dim=8, num_layers=2),
+        state_positive_dims=[],
+        sde_param_positive_dims=[0, 2],
+        console=Console(enabled=False),
+        **kwargs,
+    )
+
+
+class TestTrainer:
+    def test_train_runs_and_tracks_history(self):
+        trainer = _make_trainer(n_iterations=5)
+        state = trainer.train()
+        assert len(state.evidence_lower_bound_history) == 5
+        assert all(np.isfinite(v) for v in state.evidence_lower_bound_history)
+        assert state.best_evidence_lower_bound == max(state.evidence_lower_bound_history)
+
+    def test_params_change_and_ema_trails(self):
+        trainer = _make_trainer(n_iterations=3)
+        before = jax.tree.map(np.asarray, trainer.params)
+        state = trainer.train()
+        after = state.params
+        # theta posterior must move
+        assert float(jnp.linalg.norm(after["theta"]["mean"] - before["theta"]["mean"])) > 0
+        # EMA should differ from raw params but be close (3 steps, decay .999)
+        d = float(jnp.linalg.norm(state.ema_params["theta"]["mean"] - after["theta"]["mean"]))
+        assert 0 < d < 1.0
+
+    def test_determinism_same_seed(self):
+        s1 = _make_trainer(n_iterations=3, seed=42).train()
+        s2 = _make_trainer(n_iterations=3, seed=42).train()
+        np.testing.assert_allclose(
+            s1.evidence_lower_bound_history, s2.evidence_lower_bound_history, rtol=1e-5
+        )
+
+    def test_callback_called_every_step(self):
+        seen = []
+        trainer = _make_trainer(n_iterations=4)
+        trainer.train(callback=lambda step, elbo: seen.append(step))
+        assert seen == [0, 1, 2, 3]
+
+    def test_pretrain_reduces_mse(self):
+        trainer = _make_trainer(n_iterations=1)
+        mu = trainer.pretrain_sde_parameters(PretrainConfig(n_iterations=30, batch_size=128))
+        assert mu.shape == (3,)
+        assert bool(jnp.all(jnp.isfinite(mu)))
+        trainer.set_theta_mean(mu)
+        np.testing.assert_allclose(
+            np.asarray(trainer.params["theta"]["mean"]), np.asarray(mu)
+        )
+
+    def test_partial_observation_requires_x0(self):
+        sde2 = make_sde(
+            drift=lambda x, p: -x,
+            diffusion=lambda x, p: jnp.broadcast_to(jnp.eye(2), x.shape + (2,)),
+            state_dim=2,
+            sde_param_dim=1,
+        )
+        obs = Observations(times=[0.0, 1.0], values=[[1.0], [0.5]])
+        import pytest
+
+        with pytest.raises(ValueError, match="x0"):
+            VariationalInferenceTrainer(
+                sde=sde2,
+                observations=obs,
+                observation_likelihood=GaussianObservationLikelihood(variance=0.1),
+                prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=1),
+                time_horizon=1.0,
+                config=TrainingConfig(time_step=0.5, batch_size=4, n_iterations=1),
+                encoder_config=EncoderConfig(hidden_dim=8, cond_dim=8, num_heads=2, depth=1),
+                head_config=HeadConfig(hidden_dim=8, num_layers=1),
+                state_positive_dims=[],
+                sde_param_positive_dims=[],
+                console=Console(enabled=False),
+            )

@@ -15,7 +15,7 @@ from typing import Self
 
 import jax.numpy as jnp
 import yaml
-from pydantic import BaseModel, ConfigDict, ValidationInfo, field_validator
+from pydantic import BaseModel, ConfigDict, field_validator, model_validator
 
 
 class YamlConfig(BaseModel):
@@ -86,13 +86,14 @@ class EncoderConfig(YamlConfig):
             raise ValueError("mlp_ratio must be positive")
         return v
 
-    @field_validator("hidden_dim")
-    @classmethod
-    def validate_head_divisible(cls, v: int, info: ValidationInfo) -> int:
-        num_heads = info.data.get("num_heads")
-        if isinstance(num_heads, int) and num_heads > 0 and v % num_heads != 0:
+    @model_validator(mode="after")
+    def validate_head_divisible(self) -> "EncoderConfig":
+        # Model-level check (the reference's field-order-dependent validator at
+        # ``config.py:76-82`` silently never fired because num_heads is
+        # declared after hidden_dim).
+        if self.hidden_dim % self.num_heads != 0:
             raise ValueError("hidden_dim must be divisible by num_heads")
-        return v
+        return self
 
 
 class HeadConfig(YamlConfig):
