@@ -355,6 +355,9 @@ class VariationalInferenceTrainer:
             np.asarray(self.observations.times) / self.config.time_step
         ).astype(np.int64)
         obs_values = self.observations.values
+        # Partial observation: compare through the linear observation operator
+        # (the reference's pretrain assumed full observation, trainer.py:258).
+        obs_matrix = getattr(self.observation_likelihood, "obs_matrix", None)
 
         def mse_fn(mu_log_sigma, key):
             mu, log_sigma = mu_log_sigma
@@ -371,7 +374,10 @@ class VariationalInferenceTrainer:
                 self.state_space.positive_dims,
                 key=k_noise,
             )
-            return jnp.mean((paths[:, obs_idx] - obs_values[None]) ** 2)
+            predicted = paths[:, obs_idx]
+            if obs_matrix is not None:
+                predicted = jnp.einsum("od,btd->bto", obs_matrix, predicted)
+            return jnp.mean((predicted - obs_values[None]) ** 2)
 
         @jax.jit
         def pretrain_step(state, opt_state, key):
