@@ -23,7 +23,7 @@ import jax
 
 # First TPU v5e measurement of this implementation (round 1); later rounds are
 # compared against it. See BASELINE.md.
-REFERENCE_STEPS_PER_SEC: float | None = None
+REFERENCE_STEPS_PER_SEC: float | None = 52.9
 
 WARMUP_STEPS = 3
 TIMED_STEPS = 50

@@ -99,12 +99,23 @@ class EncoderConfig(YamlConfig):
 class HeadConfig(YamlConfig):
     hidden_dim: int = 64
     num_layers: int = 2
+    # Path-sampler backend: "scan" = lax.scan (XLA BPTT, any backend),
+    # "pallas" = fused TPU kernel (custom-VJP BPTT; interprets on CPU).
+    sampler: str = "scan"
+    sampler_block_b: int = 128
 
-    @field_validator("hidden_dim", "num_layers")
+    @field_validator("hidden_dim", "num_layers", "sampler_block_b")
     @classmethod
     def validate_positive_ints(cls, v: int) -> int:
         if v <= 0:
             raise ValueError("value must be positive")
+        return v
+
+    @field_validator("sampler")
+    @classmethod
+    def validate_sampler(cls, v: str) -> str:
+        if v not in ("scan", "pallas"):
+            raise ValueError("sampler must be 'scan' or 'pallas'")
         return v
 
 

@@ -135,8 +135,9 @@ class ObservationContextEncoder:
 
         h = jnp.broadcast_to(h[None], (batch, self.n_grid, self.hidden_dim))
 
+        # cond stays [B, C]: it is constant over the grid, so the SiT blocks
+        # run the adaLN projection once per sample and broadcast over tokens.
         cond = self._cond(params, sde_parameters)
-        cond = jnp.broadcast_to(cond[:, None, :], (batch, self.n_grid, cond.shape[-1]))
 
         context = sit(
             params["sit"],

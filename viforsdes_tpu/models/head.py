@@ -37,6 +37,16 @@ from viforsdes_tpu.ops.initializers import fan_in_uniform_init
 Array = jax.Array
 
 
+# Matmul precision for the recurrence. The reference pins the recurrence to
+# fp32 (``autograd.py:80-87``); on TPU, f32 dot inputs are rounded to bf16 on
+# the MXU with fp32 accumulation under DEFAULT. True-fp32 emulation
+# (HIGH/HIGHEST) costs 100x+ compile time on the current toolchain for scans,
+# so DEFAULT is used: elementwise gate math and the Euler accumulation stay
+# exact fp32; only matmul inputs are bf16-rounded. CPU runs (and the test
+# suite) are exact fp32.
+_FP32 = jax.lax.Precision.DEFAULT
+
+
 def _gru_cell(
     gates_in: Array,  # [B, 3H] input contribution incl. b_ih
     h: Array,  # [B, H]
@@ -49,7 +59,7 @@ def _gru_cell(
     h' = (1-z)*n + z*h  (ref ``kernels/forward.py:83-88``).
     """
     hidden = h.shape[-1]
-    gh = h @ w_hh + b_hh
+    gh = jnp.dot(h, w_hh, precision=_FP32) + b_hh
     gi_r, gi_z, gi_n = jnp.split(gates_in, 3, axis=-1)
     gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(gi_r + gh_r)
@@ -78,6 +88,9 @@ class DiffusionTransitionHead:
         self.num_layers = config.num_layers
         self.n_tril = state_dim * (state_dim + 1) // 2
         self.input_dim = state_dim + context_dim + sde_param_dim
+        self.sampler = config.sampler
+        self.sampler_block_b = config.sampler_block_b
+        self._fused_samplers: dict = {}
 
         rows, cols = np.tril_indices(state_dim)
         self.tril_rows = rows
@@ -150,14 +163,66 @@ class DiffusionTransitionHead:
         new_hidden = []
         h_in = inp
         for layer, p in enumerate(params["gru"]):
-            gates_in = h_in @ p["w_ih"] + p["b_ih"]
+            gates_in = jnp.dot(h_in, p["w_ih"], precision=_FP32) + p["b_ih"]
             h_new = _gru_cell(gates_in, hidden[layer], p["w_hh"], p["b_hh"])
             new_hidden.append(h_new)
             h_in = h_new
-        out = h_in @ params["out_proj"]["w"] + params["out_proj"]["b"]
+        out = jnp.dot(h_in, params["out_proj"]["w"], precision=_FP32) + params["out_proj"]["b"]
         mu = out[..., : self.state_dim]
         L = self.tril_from_params(out[..., self.state_dim :])
         return mu, L, jnp.stack(new_hidden)
+
+    # ------------------------------------------------------- shared precompute
+
+    def _gates_const(self, params: dict, context: Array, theta: Array):
+        """Hoist the context/theta input projections out of the recurrence:
+        one big MXU matmul over [B*T, C] plus a theta term constant in t
+        (generalizing the reference kernel's theta-only hoist,
+        ``forward.py:157-175``). Returns (gates_const [B,T,3H], w_x [D,3H])."""
+        d = self.state_dim
+        context = context.astype(jnp.float32)
+        theta = theta.astype(jnp.float32)
+        p0 = params["gru"][0]
+        w_ih0 = p0["w_ih"].astype(jnp.float32)
+        # Split layer-0 input weights by input segment [state | context | theta].
+        w_x = w_ih0[:d]
+        w_c = w_ih0[d : d + self.context_dim]
+        w_t = w_ih0[d + self.context_dim :]
+        gates_const = (
+            jnp.einsum("btc,ch->bth", context, w_c, precision=_FP32)
+            + jnp.dot(theta, w_t, precision=_FP32)[:, None, :]
+            + p0["b_ih"].astype(jnp.float32)
+        )
+        return gates_const, w_x
+
+    # -------------------------------------------------------- fused Pallas path
+
+    def _fused_sampler(self, time_step: float):
+        from viforsdes_tpu.ops.pallas.sde_sampler import FusedPathSampler, SamplerSpec
+
+        interpret = jax.default_backend() != "tpu"
+        key = (float(time_step), interpret)
+        if key not in self._fused_samplers:
+            self._fused_samplers[key] = FusedPathSampler(
+                SamplerSpec(
+                    state_dim=self.state_dim,
+                    hidden_dim=self.hidden_dim,
+                    num_layers=self.num_layers,
+                    time_step=float(time_step),
+                    diag_min=DIAG_MIN,
+                    block_b=self.sampler_block_b,
+                    interpret=interpret,
+                )
+            )
+        return self._fused_samplers[key]
+
+    def _sample_pallas(self, params, x0, gates_const, noise, time_step):
+        sampler = self._fused_sampler(time_step)
+        paths, means, chol_vals = sampler(params, x0, gates_const, noise)
+        out_shape = chol_vals.shape[:-1] + (self.state_dim, self.state_dim)
+        L = jnp.zeros(out_shape, chol_vals.dtype)
+        L = L.at[..., self.tril_rows, self.tril_cols].set(chol_vals)
+        return paths, means, L
 
     # ------------------------------------------------------- fused (scan) path
 
@@ -183,24 +248,11 @@ class DiffusionTransitionHead:
         sqrt_dt = jnp.float32(time_step**0.5)
 
         x0 = x0.astype(jnp.float32)
-        context = context.astype(jnp.float32)
-        theta = sde_parameters.astype(jnp.float32)
         noise = standard_noise.astype(jnp.float32)
+        gates_const, w_x = self._gates_const(params, context, sde_parameters)
 
-        p0 = params["gru"][0]
-        w_ih0 = p0["w_ih"].astype(jnp.float32)
-        # Split layer-0 input weights by input segment [state | context | theta].
-        w_x = w_ih0[:d]
-        w_c = w_ih0[d : d + self.context_dim]
-        w_t = w_ih0[d + self.context_dim :]
-
-        # Hoist the context/theta projections out of the recurrence: one big
-        # MXU matmul over [B*T, C] plus a rank-1-ish theta term (constant in t).
-        gates_const = (
-            jnp.einsum("btc,ch->bth", context, w_c)
-            + (theta @ w_t)[:, None, :]
-            + p0["b_ih"].astype(jnp.float32)
-        )
+        if self.sampler == "pallas":
+            return self._sample_pallas(params, x0, gates_const, noise, time_step)
 
         # Time-major for the scan.
         gates_const_t = jnp.swapaxes(gates_const, 0, 1)  # [T, B, 3H]
@@ -209,6 +261,7 @@ class DiffusionTransitionHead:
         deeper = [
             {k: v.astype(jnp.float32) for k, v in p.items()} for p in params["gru"][1:]
         ]
+        p0 = params["gru"][0]
         w_hh0 = p0["w_hh"].astype(jnp.float32)
         b_hh0 = p0["b_hh"].astype(jnp.float32)
         w_out = params["out_proj"]["w"].astype(jnp.float32)
@@ -220,20 +273,20 @@ class DiffusionTransitionHead:
             x, hs = carry
             g_const, eps_t = inputs
 
-            gates_in = g_const + x @ w_x
+            gates_in = g_const + jnp.dot(x, w_x, precision=_FP32)
             h_new0 = _gru_cell(gates_in, hs[0], w_hh0, b_hh0)
             new_hs = [h_new0]
             h_in = h_new0
             for li, p in enumerate(deeper):
-                gates_l = h_in @ p["w_ih"] + p["b_ih"]
+                gates_l = jnp.dot(h_in, p["w_ih"], precision=_FP32) + p["b_ih"]
                 h_new = _gru_cell(gates_l, hs[li + 1], p["w_hh"], p["b_hh"])
                 new_hs.append(h_new)
                 h_in = h_new
 
-            out = h_in @ w_out + b_out
+            out = jnp.dot(h_in, w_out, precision=_FP32) + b_out
             mu = out[..., :d]
             L = self.tril_from_params(out[..., d:])
-            x_next = x + mu * dt + jnp.einsum("bij,bj->bi", L, eps_t) * sqrt_dt
+            x_next = x + mu * dt + jnp.einsum("bij,bj->bi", L, eps_t, precision=_FP32) * sqrt_dt
             return (x_next, jnp.stack(new_hs)), (x_next, mu, L)
 
         (_, _), (xs, mus, Ls) = jax.lax.scan(step, (x0, h0), (gates_const_t, noise_t))
