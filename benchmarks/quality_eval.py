@@ -1,0 +1,116 @@
+"""Quality-parity evaluation: run the headline OU and Lotka-Volterra configs
+to convergence and record posterior summaries (BASELINE.md quality rows).
+
+Usage: python benchmarks/quality_eval.py [ou|lv|both] [--iters N]
+Writes benchmarks/results_<name>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+import viforsdes_tpu as vt  # noqa: E402
+
+
+def run_ou(n_iterations: int) -> dict:
+    from ornstein_uhlenbeck import OrnsteinUhlenbeck
+
+    observations = vt.Observations(
+        times=[0.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+        values=[[2.0], [1.5], [0.8], [1.2], [0.9], [1.1]],
+    )
+    t0 = time.perf_counter()
+    posterior = vt.infer(
+        sde=OrnsteinUhlenbeck(),
+        observations=observations,
+        observation_likelihood=vt.GaussianObservationLikelihood(variance=0.1),
+        prior=vt.Prior(type=vt.PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+        time_horizon=5.0,
+        config=vt.InferenceConfig(
+            training=vt.TrainingConfig(time_step=0.05, batch_size=128, n_iterations=n_iterations),
+            encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
+            head=vt.HeadConfig(hidden_dim=64, num_layers=2),
+            sde_param_positive_dims=[0, 2],
+            param_names=["kappa", "mu", "sigma"],
+            pretrain=vt.PretrainConfig(),
+            console=vt.Console(enabled=False),
+        ),
+    )
+    elapsed = time.perf_counter() - t0
+    return _summarize("ou", posterior, ["kappa", "mu", "sigma"], n_iterations, elapsed)
+
+
+def run_lv(n_iterations: int) -> dict:
+    from lotka_volterra import LotkaVolterra
+
+    observations = vt.Observations(
+        times=[0.0, 10.0, 20.0, 30.0, 40.0],
+        values=[
+            [71.0, 79.0],
+            [47.61225908, 447.20971405],
+            [80.53119269, 50.26254069],
+            [23.10087379, 339.40432691],
+            [158.05238324, 66.79611979],
+        ],
+    )
+    t0 = time.perf_counter()
+    posterior = vt.infer(
+        sde=LotkaVolterra(),
+        observations=observations,
+        observation_likelihood=vt.GaussianObservationLikelihood(variance=1.0),
+        prior=vt.Prior(type=vt.PriorType.LOG_NORMAL, mean=0.0, std=1.5, dim=3),
+        time_horizon=40.0,
+        config=vt.InferenceConfig(
+            training=vt.TrainingConfig(time_step=0.1, batch_size=24, n_iterations=n_iterations),
+            encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
+            head=vt.HeadConfig(hidden_dim=64, num_layers=2),
+            state_positive_dims=[0, 1],
+            sde_param_positive_dims=[0, 1, 2],
+            param_names=["theta1", "theta2", "theta3"],
+            pretrain=vt.PretrainConfig(),
+            console=vt.Console(enabled=False),
+        ),
+    )
+    elapsed = time.perf_counter() - t0
+    return _summarize("lv", posterior, ["theta1", "theta2", "theta3"], n_iterations, elapsed)
+
+
+def _summarize(name, posterior, param_names, n_iterations, elapsed) -> dict:
+    s = posterior.summary(n_samples=1000)
+    hist = posterior.evidence_lower_bound_history
+    tail = hist[-200:]
+    result = {
+        "name": name,
+        "n_iterations": n_iterations,
+        "train_seconds": round(elapsed, 1),
+        "steps_per_sec": round(n_iterations / elapsed, 2),
+        "elbo_final_mean200": float(np.mean(tail)),
+        "elbo_best": float(np.max(hist)),
+        "posterior_mean": {k: float(v) for k, v in zip(param_names, np.asarray(s.sde_parameter_mean))},
+        "posterior_std": {k: float(v) for k, v in zip(param_names, np.asarray(s.sde_parameter_std))},
+        "posterior_q05": {k: float(v) for k, v in zip(param_names, np.asarray(s.sde_parameter_quantiles.q05))},
+        "posterior_q95": {k: float(v) for k, v in zip(param_names, np.asarray(s.sde_parameter_quantiles.q95))},
+    }
+    out = Path(__file__).parent / f"results_{name}.json"
+    out.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    iters = None
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    if which in ("ou", "both"):
+        run_ou(iters or 20000)
+    if which in ("lv", "both"):
+        run_lv(iters or 30000)

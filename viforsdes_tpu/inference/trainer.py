@@ -177,10 +177,63 @@ class VariationalInferenceTrainer:
             self._replicated = None
 
         self.step = 0
+        self._start_step = 0
         self.evidence_lower_bound_history: list[float] = []
         self.best_evidence_lower_bound = float("-inf")
 
         self._train_step = self._build_train_step()
+
+    # ---------------------------------------------------- checkpoint / resume
+
+    def save_checkpoint(self, path) -> None:
+        """Mid-training checkpoint incl. optimizer state (a capability the
+        reference lacked — it could only save final posteriors, SURVEY §5.4)."""
+        from viforsdes_tpu.utils.pytree_io import save_checkpoint
+
+        save_checkpoint(
+            path,
+            trees={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "ema": self.ema_params,
+            },
+            metadata={
+                "next_step": self._start_step
+                if not self.evidence_lower_bound_history
+                else len(self.evidence_lower_bound_history),
+                "evidence_lower_bound_history": [
+                    float(v) for v in self.evidence_lower_bound_history
+                ],
+                "best_evidence_lower_bound": float(self.best_evidence_lower_bound),
+            },
+        )
+
+    def restore_checkpoint(self, path) -> None:
+        """Resume training exactly: per-step keys are ``fold_in(base, step)``,
+        so a restored run replays the same key sequence it would have seen."""
+        from viforsdes_tpu.utils.pytree_io import load_checkpoint
+
+        trees, meta = load_checkpoint(
+            path,
+            templates={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "ema": self.ema_params,
+            },
+        )
+        self.params = trees["params"]
+        self.opt_state = trees["opt_state"]
+        self.ema_params = trees["ema"]
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            self.ema_params = jax.device_put(self.ema_params, self._replicated)
+        self.evidence_lower_bound_history = list(
+            meta["evidence_lower_bound_history"]
+        )
+        self.best_evidence_lower_bound = meta["best_evidence_lower_bound"]
+        self._start_step = int(meta["next_step"])
+        self.step = max(self._start_step - 1, 0)
 
     # ------------------------------------------------------------ train step
 
@@ -257,10 +310,19 @@ class VariationalInferenceTrainer:
         callback: Callable[[int, float], None] | None = None,
         *,
         update_interval: int = 10,
+        checkpoint_every: int | None = None,
+        checkpoint_path=None,
     ) -> TrainingState:
         self.console.config_panel(self.config)
 
+        # Rebuild the smoothed-loss EMA from history when resuming.
         loss_ema = 0.0
+        for i, elbo in enumerate(self.evidence_lower_bound_history):
+            loss_ema = (
+                LOSS_EMA_DECAY * loss_ema + (1 - LOSS_EMA_DECAY) * (-elbo)
+                if i > 0
+                else -elbo
+            )
         pending: list[tuple[int, StepMetrics]] = []
 
         def flush(progress) -> None:
@@ -304,7 +366,7 @@ class VariationalInferenceTrainer:
             update_interval=update_interval,
             param_names=self.param_names,
         ) as progress:
-            for step in range(self.config.n_iterations):
+            for step in range(self._start_step, self.config.n_iterations):
                 self.step = step
                 key = jax.random.fold_in(self._train_key, step)
                 self.params, self.opt_state, self.ema_params, metrics = (
@@ -313,6 +375,13 @@ class VariationalInferenceTrainer:
                 pending.append((step, metrics))
                 if (step + 1) % update_interval == 0:
                     flush(progress)
+                if (
+                    checkpoint_every is not None
+                    and checkpoint_path is not None
+                    and (step + 1) % checkpoint_every == 0
+                ):
+                    flush(progress)
+                    self.save_checkpoint(checkpoint_path)
             flush(progress)
 
         return TrainingState(

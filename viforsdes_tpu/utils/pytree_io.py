@@ -34,6 +34,8 @@ def _path_element(p) -> str:
         return str(p.key)
     if hasattr(p, "idx"):
         return str(p.idx)
+    if hasattr(p, "name"):  # GetAttrKey (NamedTuple fields, e.g. optax states)
+        return str(p.name)
     return str(p)
 
 
