@@ -71,6 +71,8 @@ class EncoderConfig(YamlConfig):
     num_heads: int = 4
     depth: int = 4
     mlp_ratio: float = 8 / 3
+    # Fused Pallas SiT-block kernel: "auto" = on TPU, "on", "off".
+    fused_blocks: str = "auto"
 
     @field_validator("hidden_dim", "cond_dim", "num_heads", "depth")
     @classmethod
@@ -86,6 +88,13 @@ class EncoderConfig(YamlConfig):
             raise ValueError("mlp_ratio must be positive")
         return v
 
+    @field_validator("fused_blocks")
+    @classmethod
+    def validate_fused(cls, v: str) -> str:
+        if v not in ("auto", "on", "off"):
+            raise ValueError("fused_blocks must be 'auto', 'on' or 'off'")
+        return v
+
     @model_validator(mode="after")
     def validate_head_divisible(self) -> "EncoderConfig":
         # Model-level check (the reference's field-order-dependent validator at
@@ -99,9 +108,9 @@ class EncoderConfig(YamlConfig):
 class HeadConfig(YamlConfig):
     hidden_dim: int = 64
     num_layers: int = 2
-    # Path-sampler backend: "scan" = lax.scan (XLA BPTT, any backend),
-    # "pallas" = fused TPU kernel (custom-VJP BPTT; interprets on CPU).
-    sampler: str = "scan"
+    # Path-sampler backend: "auto" = fused Pallas kernel on TPU (measured
+    # ~9% faster full-step), lax.scan elsewhere; or force "scan" / "pallas".
+    sampler: str = "auto"
     sampler_block_b: int = 128
 
     @field_validator("hidden_dim", "num_layers", "sampler_block_b")
@@ -114,8 +123,8 @@ class HeadConfig(YamlConfig):
     @field_validator("sampler")
     @classmethod
     def validate_sampler(cls, v: str) -> str:
-        if v not in ("scan", "pallas"):
-            raise ValueError("sampler must be 'scan' or 'pallas'")
+        if v not in ("auto", "scan", "pallas"):
+            raise ValueError("sampler must be 'auto', 'scan' or 'pallas'")
         return v
 
 

@@ -8,11 +8,12 @@ TPU-native replacement for the reference's Triton kernel family
   program per path with scalar-loop matvecs; here each grid step processes a
   whole batch tile so every projection is a proper MXU matmul
   ``[B_tile, in] @ [in, 3H]`` (SURVEY §7.3 item 2).
-- **Grid = (batch_tiles, T)**: TPU grids execute sequentially, so the time
-  recurrence lives in the grid's inner dimension and Pallas's automatic
-  pipelining double-buffers the per-step HBM streams (context gates, noise,
-  saved h) while compute runs. Carried state (x_t, h layers) lives in VMEM
-  scratch that persists across grid steps.
+- **Grid = (batch_tiles, T / TC)**: TPU grids execute sequentially, so the
+  time recurrence lives in the grid's inner dimension; each grid step
+  processes a chunk of TC consecutive time steps (statically unrolled) so the
+  per-step DMA/loop overhead is amortized TC-fold, while Pallas's automatic
+  pipelining double-buffers the chunked HBM streams. Carried state
+  (x_t, h layers) lives in VMEM scratch persisting across grid steps.
 - **No atomics in backward**: the reference accumulates weight grads across
   GPU programs with ``tl.atomic_add`` (non-deterministic fp32 sums). Here the
   sequential grid accumulates weight grads into output blocks that stay
@@ -56,6 +57,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_chunk(n_steps: int, max_chunk: int) -> int:
+    """Largest divisor of n_steps that is <= max_chunk (no masking needed)."""
+    for tc in range(min(max_chunk, n_steps), 0, -1):
+        if n_steps % tc == 0:
+            return tc
+    return 1
+
+
 class SamplerSpec(NamedTuple):
     """Static configuration of one fused-sampler instantiation."""
 
@@ -65,6 +74,10 @@ class SamplerSpec(NamedTuple):
     time_step: float
     diag_min: float
     block_b: int = 128
+    max_t_chunk: int = 10
+    # the backward streams ~5x more bytes per step (h, raw, three cotangents),
+    # so its chunk is kept smaller to fit the VMEM budget
+    max_t_chunk_bwd: int = 5
     interpret: bool = False
 
     @property
@@ -83,11 +96,16 @@ def _tril_onehots(d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return R, C, (rows == cols)
 
 
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 # =============================================================== forward ====
 
 
 def _fwd_kernel(
     spec: SamplerSpec,
+    tc: int,
     save_h: bool,
     # refs: inputs
     x0_ref,
@@ -120,54 +138,63 @@ def _fwd_kernel(
     L = spec.num_layers
     dt = spec.time_step
     sqrt_dt = spec.time_step**0.5
-    t = pl.program_id(1)
+    c = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(c == 0)
     def _init():
         x_s[:] = x0_ref[:]
         h_s[:] = jnp.zeros_like(h_s)
 
-    x = x_s[:]
-    gates0 = gc_ref[0] + jnp.dot(x, w_x_ref[:], preferred_element_type=jnp.float32)
-
     def cell(gi, h_prev, w_hh, b_hh):
-        gh = jnp.dot(h_prev, w_hh, preferred_element_type=jnp.float32) + b_hh
+        gh = _dot(h_prev, w_hh) + b_hh
         r = jax.nn.sigmoid(gi[:, :h] + gh[:, :h])
         z = jax.nn.sigmoid(gi[:, h : 2 * h] + gh[:, h : 2 * h])
         n = jnp.tanh(gi[:, 2 * h :] + r * gh[:, 2 * h :])
         return (1.0 - z) * n + z * h_prev
 
-    h_prev0 = h_s[:, :h]
-    h_new = cell(gates0, h_prev0, w_hh0_ref[:], b_hh0_ref[0, :])
-    h_s[:, :h] = h_new
-    h_in = h_new
-    for layer in range(1, L):
-        li = layer - 1
-        gi = (
-            jnp.dot(h_in, w_ih_st_ref[li], preferred_element_type=jnp.float32)
-            + b_ih_st_ref[li]
-        )
-        h_prev_l = h_s[:, layer * h : (layer + 1) * h]
-        h_new_l = cell(gi, h_prev_l, w_hh_st_ref[li], b_hh_st_ref[li])
-        h_s[:, layer * h : (layer + 1) * h] = h_new_l
-        h_in = h_new_l
-
-    out = jnp.dot(h_in, w_out_ref[:], preferred_element_type=jnp.float32) + b_out_ref[0, :]
-    mu = out[:, :d]
-    raw_tril = out[:, d:]
+    x = x_s[:]
+    hs = h_s[:]
+    w_x = w_x_ref[:]
+    w_hh0 = w_hh0_ref[:]
+    b_hh0 = b_hh0_ref[0, :]
+    w_out = w_out_ref[:]
+    b_out = b_out_ref[0, :]
     diag = diag_ref[0, :]
-    vals = jnp.where(diag > 0, jnp.maximum(raw_tril, spec.diag_min), raw_tril)
+    Rm = R_ref[:]
+    Cm = C_ref[:]
 
-    eps = eps_ref[0]
-    eps_c = jnp.dot(eps, C_ref[:].T, preferred_element_type=jnp.float32)
-    l_eps = jnp.dot(vals * eps_c, R_ref[:], preferred_element_type=jnp.float32)
+    for i in range(tc):
+        gates0 = gc_ref[i] + _dot(x, w_x)
+        h_new = cell(gates0, hs[:, :h], w_hh0, b_hh0)
+        new_cols = [h_new]
+        h_in = h_new
+        for layer in range(1, L):
+            li = layer - 1
+            gi = _dot(h_in, w_ih_st_ref[li]) + b_ih_st_ref[li]
+            h_new_l = cell(
+                gi, hs[:, layer * h : (layer + 1) * h], w_hh_st_ref[li], b_hh_st_ref[li]
+            )
+            new_cols.append(h_new_l)
+            h_in = h_new_l
+        hs = new_cols[0] if L == 1 else jnp.concatenate(new_cols, axis=-1)
 
-    x_next = x + mu * dt + l_eps * sqrt_dt
-    x_s[:] = x_next
-    paths_ref[0] = x_next
-    raw_ref[0] = out
-    if save_h:
-        h_all_ref[0] = h_s[:]
+        out = _dot(h_in, w_out) + b_out
+        mu = out[:, :d]
+        raw_tril = out[:, d:]
+        vals = jnp.where(diag > 0, jnp.maximum(raw_tril, spec.diag_min), raw_tril)
+
+        eps = eps_ref[i]
+        eps_c = _dot(eps, Cm.T)
+        l_eps = _dot(vals * eps_c, Rm)
+
+        x = x + mu * dt + l_eps * sqrt_dt
+        paths_ref[i] = x
+        raw_ref[i] = out
+        if save_h:
+            h_all_ref[i] = hs
+
+    x_s[:] = x
+    h_s[:] = hs
 
 
 # =============================================================== backward ===
@@ -175,13 +202,14 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     spec: SamplerSpec,
-    n_steps: int,
+    tc: int,
+    n_chunks: int,
     # refs: inputs
     gc_ref,
     eps_ref,
-    x_ref,  # paths_full at time tr (the INPUT state of step tr)
+    x_ref,  # paths_full[t] = input state of step t, chunked
     h_cur_ref,
-    h_prev_ref,
+    h_prevchunk_ref,
     raw_ref,
     d_paths_ref,
     d_means_ref,
@@ -217,19 +245,20 @@ def _bwd_kernel(
     d = spec.state_dim
     h = spec.hidden_dim
     L = spec.num_layers
+    L1 = max(L - 1, 1)
     dt = spec.time_step
     sqrt_dt = spec.time_step**0.5
     b_idx = pl.program_id(0)
-    t = pl.program_id(1)
-    tr = n_steps - 1 - t  # actual time index being differentiated
+    c = pl.program_id(1)
+    chunk = n_chunks - 1 - c  # the chunk of time steps being differentiated
 
-    @pl.when(t == 0)
+    @pl.when(c == 0)
     def _init_tile():
         dx_s[:] = jnp.zeros_like(dx_s)
         dh_s[:] = jnp.zeros_like(dh_s)
         d_x0_ref[:] = jnp.zeros_like(d_x0_ref)
 
-    @pl.when((t == 0) & (b_idx == 0))
+    @pl.when((c == 0) & (b_idx == 0))
     def _init_accums():
         d_w_x_ref[:] = jnp.zeros_like(d_w_x_ref)
         d_w_hh0_ref[:] = jnp.zeros_like(d_w_hh0_ref)
@@ -241,99 +270,139 @@ def _bwd_kernel(
         d_w_out_ref[:] = jnp.zeros_like(d_w_out_ref)
         d_b_out_ref[:] = jnp.zeros_like(d_b_out_ref)
 
-    x_t = x_ref[0]
-    not_first_step = (tr > 0).astype(jnp.float32)
-    h_prev_all = h_prev_ref[0] * not_first_step
-    h_cur_all = h_cur_ref[0]
-
-    # ---- recompute gate activations for every layer (from h_{t-1}) --------
-    gates0 = gc_ref[0] + jnp.dot(x_t, w_x_ref[:], preferred_element_type=jnp.float32)
+    w_x = w_x_ref[:]
+    w_hh0 = w_hh0_ref[:]
+    b_hh0 = b_hh0_ref[0, :]
+    w_out = w_out_ref[:]
+    diag = diag_ref[0, :]
+    Rm = R_ref[:]
+    Cm = C_ref[:]
 
     def recompute(gi, h_prev, w_hh, b_hh):
-        gh = jnp.dot(h_prev, w_hh, preferred_element_type=jnp.float32) + b_hh
+        gh = _dot(h_prev, w_hh) + b_hh
         r = jax.nn.sigmoid(gi[:, :h] + gh[:, :h])
         z = jax.nn.sigmoid(gi[:, h : 2 * h] + gh[:, h : 2 * h])
         n_hh = gh[:, 2 * h :]
         n = jnp.tanh(gi[:, 2 * h :] + r * n_hh)
         return r, z, n, n_hh
 
-    acts = []
-    h_prev0 = h_prev_all[:, :h]
-    acts.append(recompute(gates0, h_prev0, w_hh0_ref[:], b_hh0_ref[0, :]))
-    for layer in range(1, L):
-        li = layer - 1
-        gi_l = (
-            jnp.dot(
-                h_cur_all[:, (layer - 1) * h : layer * h],
-                w_ih_st_ref[li],
-                preferred_element_type=jnp.float32,
-            )
-            + b_ih_st_ref[li]
-        )
-        acts.append(
-            recompute(gi_l, h_prev_all[:, layer * h : (layer + 1) * h], w_hh_st_ref[li], b_hh_st_ref[li])
-        )
+    dx = dx_s[:]
+    dh = dh_s[:]
 
-    # ---- output-projection + Euler-update backward ------------------------
-    d_x_next = d_paths_ref[0] + dx_s[:]
-    raw_tril = raw_ref[0][:, d:]  # [B, n_tril]
-    eps = eps_ref[0]
-    eps_c = jnp.dot(eps, C_ref[:].T, preferred_element_type=jnp.float32)
-    dL_path = jnp.dot(d_x_next, R_ref[:].T, preferred_element_type=jnp.float32) * eps_c * sqrt_dt
-    dL_total = d_cholv_ref[0] + dL_path
-    diag = diag_ref[0, :]
-    # lower_bound rule on the summed cotangent (ref backward.py:324-334)
-    pass_thr = (raw_tril >= spec.diag_min) | (dL_total < 0)
-    d_tril = jnp.where(diag > 0, jnp.where(pass_thr, dL_total, 0.0), dL_total)
-    d_mu = d_means_ref[0] + d_x_next * dt
-    d_out = jnp.concatenate([d_mu, d_tril], axis=-1)
+    # chunk-local weight-grad accumulators (flushed to resident refs once)
+    acc_w_x = jnp.zeros_like(w_x)
+    acc_w_hh0 = jnp.zeros_like(w_hh0)
+    acc_b_hh0 = jnp.zeros((1, 3 * h), jnp.float32)
+    # per-deeper-layer accumulators as static python lists (scatter-add on a
+    # stacked array does not lower in Mosaic)
+    acc_w_ih_st = [jnp.zeros((h, 3 * h), jnp.float32) for _ in range(L - 1)]
+    acc_w_hh_st = [jnp.zeros((h, 3 * h), jnp.float32) for _ in range(L - 1)]
+    acc_b_ih_st = [jnp.zeros((3 * h,), jnp.float32) for _ in range(L - 1)]
+    acc_b_hh_st = [jnp.zeros((3 * h,), jnp.float32) for _ in range(L - 1)]
+    acc_w_out = jnp.zeros_like(w_out)
+    acc_b_out = jnp.zeros((1, w_out.shape[1]), jnp.float32)
 
-    h_top = h_cur_all[:, (L - 1) * h :]
-    d_from_above = jnp.dot(d_out, w_out_ref[:].T, preferred_element_type=jnp.float32)
-    d_w_out_ref[:] += jnp.dot(h_top.T, d_out, preferred_element_type=jnp.float32)
-    d_b_out_ref[:] += jnp.sum(d_out, axis=0, keepdims=True)
-
-    # ---- GRU BPTT, top layer down -----------------------------------------
-    for layer in range(L - 1, -1, -1):
-        r, z, n, n_hh = acts[layer]
-        h_prev_l = h_prev_all[:, layer * h : (layer + 1) * h]
-        d_h_l = dh_s[:, layer * h : (layer + 1) * h] + d_from_above
-
-        dn = d_h_l * (1.0 - z)
-        dz = d_h_l * (h_prev_l - n)
-        dh_prev_direct = d_h_l * z
-        da_n = dn * (1.0 - n * n)
-        d_r = da_n * n_hh
-        d_gh_n = da_n * r
-        da_r = d_r * r * (1.0 - r)
-        da_z = dz * z * (1.0 - z)
-        d_gi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
-        d_gh = jnp.concatenate([da_r, da_z, d_gh_n], axis=-1)
-
-        if layer == 0:
-            w_hh_l = w_hh0_ref[:]
+    for i in range(tc - 1, -1, -1):
+        x_t = x_ref[i]
+        if i > 0:
+            h_prev_all = h_cur_ref[i - 1]
         else:
-            w_hh_l = w_hh_st_ref[layer - 1]
-        dh_prev = dh_prev_direct + jnp.dot(d_gh, w_hh_l.T, preferred_element_type=jnp.float32)
+            # first step of this chunk: h from the last row of the previous
+            # chunk, or zeros at the very start of the sequence
+            h_prev_all = h_prevchunk_ref[tc - 1] * (chunk > 0).astype(jnp.float32)
+        h_cur_all = h_cur_ref[i]
 
-        if layer == 0:
-            d_w_hh0_ref[:] += jnp.dot(h_prev_l.T, d_gh, preferred_element_type=jnp.float32)
-            d_b_hh0_ref[:] += jnp.sum(d_gh, axis=0, keepdims=True)
-            d_gc_ref[0] = d_gi
-            dx_s[:] = d_x_next + jnp.dot(d_gi, w_x_ref[:].T, preferred_element_type=jnp.float32)
-            d_w_x_ref[:] += jnp.dot(x_t.T, d_gi, preferred_element_type=jnp.float32)
-        else:
+        # ---- recompute gate activations per layer (from h_{t-1}) ----------
+        gates0 = gc_ref[i] + _dot(x_t, w_x)
+        acts = [recompute(gates0, h_prev_all[:, :h], w_hh0, b_hh0)]
+        for layer in range(1, L):
             li = layer - 1
-            d_w_hh_st_ref[li] += jnp.dot(h_prev_l.T, d_gh, preferred_element_type=jnp.float32)
-            d_b_hh_st_ref[li] += jnp.sum(d_gh, axis=0)
-            h_below = h_cur_all[:, (layer - 1) * h : layer * h]
-            d_w_ih_st_ref[li] += jnp.dot(h_below.T, d_gi, preferred_element_type=jnp.float32)
-            d_b_ih_st_ref[li] += jnp.sum(d_gi, axis=0)
-            d_from_above = jnp.dot(d_gi, w_ih_st_ref[li].T, preferred_element_type=jnp.float32)
+            gi_l = (
+                _dot(h_cur_all[:, (layer - 1) * h : layer * h], w_ih_st_ref[li])
+                + b_ih_st_ref[li]
+            )
+            acts.append(
+                recompute(
+                    gi_l,
+                    h_prev_all[:, layer * h : (layer + 1) * h],
+                    w_hh_st_ref[li],
+                    b_hh_st_ref[li],
+                )
+            )
 
-        dh_s[:, layer * h : (layer + 1) * h] = dh_prev
+        # ---- output-projection + Euler-update backward --------------------
+        d_x_next = d_paths_ref[i] + dx
+        raw_tril = raw_ref[i][:, d:]
+        eps = eps_ref[i]
+        eps_c = _dot(eps, Cm.T)
+        dL_path = _dot(d_x_next, Rm.T) * eps_c * sqrt_dt
+        dL_total = d_cholv_ref[i] + dL_path
+        # lower_bound rule on the summed cotangent (ref backward.py:324-334)
+        pass_thr = (raw_tril >= spec.diag_min) | (dL_total < 0)
+        d_tril = jnp.where(diag > 0, jnp.where(pass_thr, dL_total, 0.0), dL_total)
+        d_mu = d_means_ref[i] + d_x_next * dt
+        d_out = jnp.concatenate([d_mu, d_tril], axis=-1)
 
-    @pl.when(t == n_steps - 1)
+        h_top = h_cur_all[:, (L - 1) * h :]
+        d_from_above = _dot(d_out, w_out.T)
+        acc_w_out = acc_w_out + _dot(h_top.T, d_out)
+        acc_b_out = acc_b_out + jnp.sum(d_out, axis=0, keepdims=True)
+
+        # ---- GRU BPTT, top layer down --------------------------------------
+        new_dh_cols: list = [None] * L
+        for layer in range(L - 1, -1, -1):
+            r, z, n, n_hh = acts[layer]
+            h_prev_l = h_prev_all[:, layer * h : (layer + 1) * h]
+            d_h_l = dh[:, layer * h : (layer + 1) * h] + d_from_above
+
+            dn = d_h_l * (1.0 - z)
+            dz = d_h_l * (h_prev_l - n)
+            dh_prev_direct = d_h_l * z
+            da_n = dn * (1.0 - n * n)
+            d_r = da_n * n_hh
+            d_gh_n = da_n * r
+            da_r = d_r * r * (1.0 - r)
+            da_z = dz * z * (1.0 - z)
+            d_gi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+            d_gh = jnp.concatenate([da_r, da_z, d_gh_n], axis=-1)
+
+            w_hh_l = w_hh0 if layer == 0 else w_hh_st_ref[layer - 1]
+            dh_prev = dh_prev_direct + _dot(d_gh, w_hh_l.T)
+
+            if layer == 0:
+                acc_w_hh0 = acc_w_hh0 + _dot(h_prev_l.T, d_gh)
+                acc_b_hh0 = acc_b_hh0 + jnp.sum(d_gh, axis=0, keepdims=True)
+                d_gc_ref[i] = d_gi
+                dx = d_x_next + _dot(d_gi, w_x.T)
+                acc_w_x = acc_w_x + _dot(x_t.T, d_gi)
+            else:
+                li = layer - 1
+                acc_w_hh_st[li] = acc_w_hh_st[li] + _dot(h_prev_l.T, d_gh)
+                acc_b_hh_st[li] = acc_b_hh_st[li] + jnp.sum(d_gh, axis=0)
+                h_below = h_cur_all[:, (layer - 1) * h : layer * h]
+                acc_w_ih_st[li] = acc_w_ih_st[li] + _dot(h_below.T, d_gi)
+                acc_b_ih_st[li] = acc_b_ih_st[li] + jnp.sum(d_gi, axis=0)
+                d_from_above = _dot(d_gi, w_ih_st_ref[li].T)
+
+            new_dh_cols[layer] = dh_prev
+
+        dh = new_dh_cols[0] if L == 1 else jnp.concatenate(new_dh_cols, axis=-1)
+
+    dx_s[:] = dx
+    dh_s[:] = dh
+
+    d_w_x_ref[:] += acc_w_x
+    d_w_hh0_ref[:] += acc_w_hh0
+    d_b_hh0_ref[:] += acc_b_hh0
+    for li in range(L - 1):
+        d_w_ih_st_ref[li] += acc_w_ih_st[li]
+        d_w_hh_st_ref[li] += acc_w_hh_st[li]
+        d_b_ih_st_ref[li] += acc_b_ih_st[li]
+        d_b_hh_st_ref[li] += acc_b_hh_st[li]
+    d_w_out_ref[:] += acc_w_out
+    d_b_out_ref[:] += acc_b_out
+
+    @pl.when(c == n_chunks - 1)
     def _final():
         d_x0_ref[:] = dx_s[:]
 
@@ -346,17 +415,19 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda b, t: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _step_spec(block_b, width):
-    """Time-major stream block: array [T, B, X], block (1, block_b, X) so the
-    trailing two dims satisfy TPU tiling ((block_b % 8 == 0, X == full))."""
-    return pl.BlockSpec((1, block_b, width), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM)
+def _chunk_spec(tc, block_b, width):
+    """Time-major chunked stream: array [T, B, X], block (TC, block_b, X) so
+    the trailing two dims satisfy TPU tiling (block_b % 8 == 0, X == full)."""
+    return pl.BlockSpec(
+        (tc, block_b, width), lambda b, c: (c, b, 0), memory_space=pltpu.VMEM
+    )
 
 
-def _step_spec_rev(block_b, width, n_steps, shift=0):
-    def index_map(b, t):
-        return (jnp.maximum(n_steps - 1 - t - shift, 0), b, 0)
+def _chunk_spec_rev(tc, block_b, width, n_chunks, shift=0):
+    def index_map(b, c):
+        return (jnp.maximum(n_chunks - 1 - c - shift, 0), b, 0)
 
-    return pl.BlockSpec((1, block_b, width), index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((tc, block_b, width), index_map, memory_space=pltpu.VMEM)
 
 
 def _weight_specs(spec: SamplerSpec):
@@ -467,6 +538,7 @@ class FusedPathSampler:
         batch, n_steps, _ = gates_const.shape
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         n_out = d + spec.n_tril
+        tc = _pick_chunk(n_steps, spec.max_t_chunk)
 
         block_b = min(spec.block_b, _round_up(batch, 8))
         pad_b = _round_up(batch, block_b)
@@ -476,7 +548,7 @@ class FusedPathSampler:
             noise = jnp.pad(noise, pad)
             x0 = jnp.pad(x0, ((0, pad_b - batch), (0, 0)))
 
-        # Streams are time-major [T, B, X] so blocks are (1, block_b, X).
+        # Streams are time-major [T, B, X] so chunk blocks are (TC, block_b, X).
         gc_t = jnp.swapaxes(gates_const.astype(jnp.float32), 0, 1)
         eps_t = jnp.swapaxes(noise.astype(jnp.float32), 0, 1)
 
@@ -485,22 +557,22 @@ class FusedPathSampler:
             jax.ShapeDtypeStruct((n_steps, pad_b, n_out), jnp.float32),  # raw
         ]
         out_specs = [
-            _step_spec(block_b, d),
-            _step_spec(block_b, n_out),
+            _chunk_spec(tc, block_b, d),
+            _chunk_spec(tc, block_b, n_out),
         ]
         if save_h:
             out_shapes.append(jax.ShapeDtypeStruct((n_steps, pad_b, L * h), jnp.float32))
-            out_specs.append(_step_spec(block_b, L * h))
+            out_specs.append(_chunk_spec(tc, block_b, L * h))
 
-        grid = (pad_b // block_b, n_steps)
-        kernel = functools.partial(_fwd_kernel, spec, save_h)
+        grid = (pad_b // block_b, n_steps // tc)
+        kernel = functools.partial(_fwd_kernel, spec, tc, save_h)
         results = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_b, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-                _step_spec(block_b, 3 * h),
-                _step_spec(block_b, d),
+                pl.BlockSpec((block_b, d), lambda b, c: (b, 0), memory_space=pltpu.VMEM),
+                _chunk_spec(tc, block_b, 3 * h),
+                _chunk_spec(tc, block_b, d),
                 *_weight_specs(spec),
             ],
             out_specs=out_specs,
@@ -529,6 +601,8 @@ class FusedPathSampler:
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         L1 = max(L - 1, 1)
         n_out = d + spec.n_tril
+        tc = _pick_chunk(n_steps, spec.max_t_chunk_bwd)
+        n_chunks = n_steps // tc
 
         block_b = min(spec.block_b, _round_up(batch, 8))
         pad_b = _round_up(batch, block_b)
@@ -559,17 +633,17 @@ class FusedPathSampler:
             *kernel_weights,
         ]
 
-        rev = functools.partial(_step_spec_rev, block_b)
+        rev = functools.partial(_chunk_spec_rev, tc)
         in_specs = [
-            rev(3 * h, n_steps),
-            rev(d, n_steps),
-            rev(d, n_steps),
-            rev(L * h, n_steps),          # h_cur at tr
-            rev(L * h, n_steps, shift=1),  # h_prev at max(tr-1, 0)
-            rev(n_out, n_steps),
-            rev(d, n_steps),
-            rev(d, n_steps),
-            rev(spec.n_tril, n_steps),
+            rev(block_b, 3 * h, n_chunks),
+            rev(block_b, d, n_chunks),
+            rev(block_b, d, n_chunks),
+            rev(block_b, L * h, n_chunks),           # h_cur chunk
+            rev(block_b, L * h, n_chunks, shift=1),  # previous chunk of h
+            rev(block_b, n_out, n_chunks),
+            rev(block_b, d, n_chunks),
+            rev(block_b, d, n_chunks),
+            rev(block_b, spec.n_tril, n_chunks),
             *_weight_specs(spec),
         ]
         out_shapes = [
@@ -586,8 +660,8 @@ class FusedPathSampler:
             jax.ShapeDtypeStruct((1, n_out), jnp.float32),
         ]
         out_specs = [
-            rev(3 * h, n_steps),
-            pl.BlockSpec((block_b, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            rev(block_b, 3 * h, n_chunks),
+            pl.BlockSpec((block_b, d), lambda b, c: (b, 0), memory_space=pltpu.VMEM),
             _const_spec((d, 3 * h)),
             _const_spec((h, 3 * h)),
             _const_spec((1, 3 * h)),
@@ -599,8 +673,8 @@ class FusedPathSampler:
             _const_spec((1, n_out)),
         ]
 
-        grid = (pad_b // block_b, n_steps)
-        kernel = functools.partial(_bwd_kernel, spec, n_steps)
+        grid = (pad_b // block_b, n_chunks)
+        kernel = functools.partial(_bwd_kernel, spec, tc, n_chunks)
         results = pl.pallas_call(
             kernel,
             grid=grid,

@@ -1,0 +1,667 @@
+"""Fused Pallas TPU kernel for one SiT encoder block (forward + backward).
+
+One kernel evaluates the whole block — LayerNorm -> adaLN affine -> attention
+(QK-RMSNorm, RoPE, SDPA, sigmoid output gate, residual-value mixing) -> gated
+residual add -> LayerNorm -> adaLN affine -> SwiGLU -> gated residual add —
+with the batch tiled over a sequential grid and everything else resident in
+VMEM. Profiling (BASELINE.md) showed the XLA-compiled block is overhead-bound
+(~5x above its FLOP roofline) because each of its ~30 small ops round-trips
+activations through HBM; fusing removes those round trips.
+
+Layout: all token streams travel FLATTENED as ``[B*S, E]`` (sample-major) and
+the kernel works on 2-D tiles ``[Bt*S, E]``. Mosaic lowers 2-D vectors and
+plain 2-D matmuls far more compactly than 3-D batched ops (the 3-D
+formulation OOM'd the compiler); anything per-sample (adaLN modulation,
+attention, gradient reductions) uses static row slices ``[b*S:(b+1)*S]``.
+
+Residual strategy: NOTHING extra is stashed. The backward recomputes the
+block forward from its inputs (the block input x is the residual stream,
+already materialized in HBM as the previous block's output), then runs the
+hand-derived backward — attention probabilities included (cheap at S ~ 100).
+The adaLN cond branches (scale/shift/gate per branch, [B, 6E]) are computed
+outside (one matmul per block, hoisted) and their gradients are returned, so
+the kernel composes with the outside adaLN-Zero projection under jax.grad.
+
+Math matches ops/attention.py, ops/sit.py, ops/norms.py exactly in fp32
+(tests/test_pallas_sit_block.py): LayerNorm uses E[x^2]-E[x]^2 variance with
+fp32 stats; gate scores come from the MODULATED input a1 (ref
+``attn.py:108-111``); value state exported/mixed per ``sit.py:144-145``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+class SiTBlockSpec(NamedTuple):
+    seq_len: int
+    embed_dim: int
+    num_heads: int
+    mlp_hidden: int
+    ln_eps: float = 1e-5
+    qk_eps: float = 1e-6
+    residual_v: bool = False  # mix v with incoming v0 (blocks > 0)
+    block_bt: int = 2
+    # MXU input dtype: "bf16" matches the XLA path (bf16 inputs, fp32
+    # accumulate; fp32 f32 matmuls run at a fraction of MXU throughput);
+    # "fp32" for exact-parity testing.
+    mxu_dtype: str = "bf16"
+    interpret: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def s_pad(self) -> int:
+        """Per-sample row count padded to the sublane quantum, so any batch
+        tile keeps (block_bt * s_pad) % 8 == 0. Padded rows carry zeros: LN of
+        a zero row is finite, matmuls of zeros are zeros, attention only
+        touches the real rows, and all padded-row cotangents are zero."""
+        return ((self.seq_len + 7) // 8) * 8
+
+
+# ----------------------------------------------------------- shared pieces
+
+
+def _ln(x, eps):
+    """fp32 LayerNorm over rows; returns (y, rstd). x fp32 [R, E]."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return (x - mean) * rstd, rstd
+
+
+def _ln_bwd(dy, y, rstd):
+    m1 = jnp.mean(dy, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
+    return (dy - m1 - y * m2) * rstd
+
+
+def _rms(x, eps):
+    r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return x * r, r
+
+
+def _rms_bwd(dy, x, r):
+    return dy * r - x * (r**3) * jnp.mean(dy * x, axis=-1, keepdims=True)
+
+
+def _rope_apply(q, cos, sin):
+    half = q.shape[-1] // 2
+    qr, qi = q[..., :half], q[..., half:]
+    return jnp.concatenate([qr * cos - qi * sin, qr * sin + qi * cos], axis=-1)
+
+
+def _rope_bwd(dq, cos, sin):
+    half = dq.shape[-1] // 2
+    dr, di = dq[..., :half], dq[..., half:]
+    return jnp.concatenate([dr * cos + di * sin, -dr * sin + di * cos], axis=-1)
+
+
+_MXU_DTYPE = jnp.bfloat16  # set per-kernel via _set_mxu_dtype
+
+
+class _MxuMode:
+    dtype = jnp.bfloat16
+
+
+def _set_mxu_dtype(spec):
+    _MxuMode.dtype = jnp.bfloat16 if spec.mxu_dtype == "bf16" else jnp.float32
+
+
+def _cast(a):
+    return a.astype(_MxuMode.dtype)
+
+
+def _dot(a, b):
+    return jnp.dot(_cast(a), _cast(b), preferred_element_type=jnp.float32)
+
+
+def _dot_tA(a, b):
+    """a^T @ b without materializing the transpose."""
+    return jax.lax.dot_general(
+        _cast(a), _cast(b), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_tB(a, b):
+    """a @ b^T without materializing the transpose."""
+    return jax.lax.dot_general(
+        _cast(a), _cast(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
+    """Shared forward, fp32, 2-D. x/v0: [Bt*S, E]; cond: [Bt, 6E];
+    cos_t/sin_t: [Bt*S, Dh/2] (rope tables tiled per sample)."""
+    e = spec.embed_dim
+    dh = spec.head_dim
+    nh = spec.num_heads
+    s = spec.seq_len
+    sp = spec.s_pad
+    bt = spec.block_bt
+
+    def cond_vec(b, part):
+        return cond[b, part][None, :]
+
+    def with_row_pad(pieces):
+        """concat per-sample [s, X] pieces, zero-padding each to [sp, X]."""
+        if sp == s:
+            return jnp.concatenate(pieces, axis=0)
+        out = []
+        for p in pieces:
+            out.append(p)
+            out.append(jnp.zeros((sp - s, p.shape[1]), p.dtype))
+        return jnp.concatenate(out, axis=0)
+
+    y1, rstd1 = _ln(x, spec.ln_eps)
+    a1 = jnp.concatenate(
+        [
+            (1.0 + cond_vec(b, 0)) * y1[b * sp : (b + 1) * sp] + cond_vec(b, 1)
+            for b in range(bt)
+        ],
+        axis=0,
+    )
+
+    act = _MxuMode.dtype
+    qkv = (_dot(a1, w["w_qkv"]) + w["b_qkv"]).astype(act)
+    q, k, v = qkv[:, :e], qkv[:, e : 2 * e], qkv[:, 2 * e :]
+
+    qn_cols, kn_cols, qr_list, kr_list = [], [], [], []
+    for h in range(nh):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, qr = _rms(q[:, sl].astype(jnp.float32), spec.qk_eps)
+        kh, kr = _rms(k[:, sl].astype(jnp.float32), spec.qk_eps)
+        qn_cols.append(_rope_apply(qh, cos_t, sin_t).astype(act))
+        kn_cols.append(_rope_apply(kh, cos_t, sin_t).astype(act))
+        qr_list.append(qr)
+        kr_list.append(kr)
+    qrp = jnp.concatenate(qn_cols, axis=-1)
+    krp = jnp.concatenate(kn_cols, axis=-1)
+
+    if spec.residual_v:
+        lam = w["lam"]
+        v_mixed = (lam * v.astype(jnp.float32) + (1.0 - lam) * v0).astype(act)
+    else:
+        v_mixed = v
+
+    # SDPA per (sample, head), static 2-D slices over the REAL rows only
+    scale = 1.0 / (dh**0.5)
+    ctx_rows = []
+    probs = {}
+    for b in range(bt):
+        rows = slice(b * sp, b * sp + s)
+        head_cols = []
+        for h in range(nh):
+            sl = slice(h * dh, (h + 1) * dh)
+            logits = _dot_tB(qrp[rows, sl], krp[rows, sl]) * scale
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            ex = jnp.exp(logits)
+            p = ex / jnp.sum(ex, axis=-1, keepdims=True)
+            probs[(b, h)] = p.astype(act)
+            head_cols.append(_dot(p, v_mixed[rows, sl]).astype(act))
+        ctx_rows.append(jnp.concatenate(head_cols, axis=-1))
+    ctx = with_row_pad(ctx_rows)
+
+    gate_pre = _dot(a1, w["w_g"]) + w["b_g"]  # [Bt*S, Dh]
+    gate = jax.nn.sigmoid(gate_pre).astype(act)
+    gate_full = jnp.concatenate([gate] * nh, axis=-1)
+    gated_ctx = ctx * gate_full
+
+    out1 = _dot(gated_ctx, w["w_o"]) + w["b_o"]
+    x2 = x + jnp.concatenate(
+        [cond_vec(b, 2) * out1[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
+    )
+
+    y2, rstd2 = _ln(x2, spec.ln_eps)
+    a2 = jnp.concatenate(
+        [
+            (1.0 + cond_vec(b, 3)) * y2[b * sp : (b + 1) * sp] + cond_vec(b, 4)
+            for b in range(bt)
+        ],
+        axis=0,
+    )
+    m_pre = (_dot(a2, w["w_m1"]) + w["b_m1"]).astype(act)
+    left, right = m_pre[:, : spec.mlp_hidden], m_pre[:, spec.mlp_hidden :]
+    sig_l = jax.nn.sigmoid(left.astype(jnp.float32)).astype(act)
+    silu_l = left * sig_l
+    mlp_mid = silu_l * right
+    mlp_out = _dot(mlp_mid, w["w_m2"]) + w["b_m2"]
+    x_out = x2 + jnp.concatenate(
+        [cond_vec(b, 5) * mlp_out[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
+    )
+
+    return dict(
+        y1=y1, rstd1=rstd1, a1=a1, q=q, k=k, v=v,
+        qr_list=qr_list, kr_list=kr_list, qrp=qrp, krp=krp,
+        v_mixed=v_mixed, ctx=ctx, probs=probs,
+        gate=gate, gate_full=gate_full, gated_ctx=gated_ctx, out1=out1, x2=x2,
+        y2=y2, rstd2=rstd2, a2=a2, left=left, right=right,
+        sig_l=sig_l, silu_l=silu_l, mlp_mid=mlp_mid, mlp_out=mlp_out,
+        x_out=x_out,
+    )
+
+
+_WEIGHT_NAMES = ["w_qkv", "b_qkv", "w_o", "b_o", "w_g", "b_g", "w_m1", "b_m1", "w_m2", "b_m2", "lam"]
+
+
+def _weights_from_refs(spec, refs):
+    w = {}
+    for name, ref in zip(_WEIGHT_NAMES, refs):
+        if name == "lam":
+            w[name] = ref[0, 0] if spec.residual_v else None
+        elif name.startswith("b_"):
+            w[name] = ref[0, :]
+        else:
+            w[name] = ref[:]
+    return w
+
+
+# =============================================================== forward ====
+
+
+def _fwd_kernel(spec: SiTBlockSpec, x_ref, cond_ref, v0_ref, cos_ref, sin_ref, *refs):
+    weight_refs = refs[: len(_WEIGHT_NAMES)]
+    x_out_ref, v_out_ref = refs[len(_WEIGHT_NAMES) :]
+
+    _set_mxu_dtype(spec)
+    w = _weights_from_refs(spec, weight_refs)
+    x = x_ref[:].astype(jnp.float32)
+    cond = cond_ref[:].astype(jnp.float32)  # [Bt, 6, E]
+    v0 = v0_ref[:].astype(jnp.float32) if spec.residual_v else None
+    cos_t = cos_ref[:]
+    sin_t = sin_ref[:]
+
+    f = _forward_core(spec, x, cond, v0, cos_t, sin_t, w)
+    x_out_ref[:] = f["x_out"].astype(x_out_ref.dtype)
+    v_out_ref[:] = f["v_mixed"].astype(v_out_ref.dtype)
+
+
+# =============================================================== backward ===
+
+
+def _bwd_kernel(
+    spec: SiTBlockSpec,
+    x_ref,
+    cond_ref,
+    v0_ref,
+    cos_ref,
+    sin_ref,
+    *refs,
+):
+    n_w = len(_WEIGHT_NAMES)
+    weight_refs = refs[:n_w]
+    d_xout_ref, d_vout_ref = refs[n_w : n_w + 2]
+    out_refs = refs[n_w + 2 :]
+    (d_x_ref, d_cond_ref, d_v0_ref, *d_w_refs) = out_refs
+
+    e = spec.embed_dim
+    dh = spec.head_dim
+    nh = spec.num_heads
+    s = spec.seq_len
+    sp = spec.s_pad
+    bt = spec.block_bt
+    bt_idx = pl.program_id(0)
+
+    _set_mxu_dtype(spec)
+
+    @pl.when(bt_idx == 0)
+    def _init():
+        for r in d_w_refs:
+            r[:] = jnp.zeros_like(r)
+
+    w = _weights_from_refs(spec, weight_refs)
+    x = x_ref[:].astype(jnp.float32)
+    cond = cond_ref[:].astype(jnp.float32)  # [Bt, 6, E]
+    v0 = v0_ref[:].astype(jnp.float32) if spec.residual_v else None
+    cos_t = cos_ref[:]
+    sin_t = sin_ref[:]
+
+    f = _forward_core(spec, x, cond, v0, cos_t, sin_t, w)
+
+    d_xout = d_xout_ref[:].astype(jnp.float32)
+    d_vout = d_vout_ref[:].astype(jnp.float32)
+
+    def cond_vec(b, part):
+        return cond[b, part][None, :]
+
+    def per_sample_dot(dy, other):
+        """per-sample sum over rows of (dy * other) -> list of [1, E]."""
+        return [
+            jnp.sum(
+                dy[b * sp : (b + 1) * sp] * other[b * sp : (b + 1) * sp],
+                axis=0,
+                keepdims=True,
+            )
+            for b in range(bt)
+        ]
+
+    def mod_mul(dy, part):
+        return jnp.concatenate(
+            [cond_vec(b, part) * dy[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
+        )
+
+    def mod_mul1p(dy, part):
+        return jnp.concatenate(
+            [(1.0 + cond_vec(b, part)) * dy[b * sp : (b + 1) * sp] for b in range(bt)],
+            axis=0,
+        )
+
+    def per_sample_rowsum(dy):
+        return [
+            jnp.sum(dy[b * sp : (b + 1) * sp], axis=0, keepdims=True) for b in range(bt)
+        ]
+
+    def with_row_pad(pieces):
+        if sp == s:
+            return jnp.concatenate(pieces, axis=0)
+        out = []
+        for p in pieces:
+            out.append(p)
+            out.append(jnp.zeros((sp - s, p.shape[1]), p.dtype))
+        return jnp.concatenate(out, axis=0)
+
+    # ---- MLP branch --------------------------------------------------------
+    d_g2 = per_sample_dot(d_xout, f["mlp_out"])
+    d_mlp_out = mod_mul(d_xout, 5)
+    d_w_m2 = _dot_tA(f["mlp_mid"], d_mlp_out)
+    d_b_m2 = jnp.sum(d_mlp_out, axis=0, keepdims=True)
+    d_mid = _dot_tB(d_mlp_out, w["w_m2"])
+    d_silu = d_mid * f["right"]
+    d_right = d_mid * f["silu_l"]
+    d_left = d_silu * (f["sig_l"] * (1.0 + f["left"] * (1.0 - f["sig_l"])))
+    d_mpre = jnp.concatenate([d_left, d_right], axis=-1)
+    d_w_m1 = _dot_tA(f["a2"], d_mpre)
+    d_b_m1 = jnp.sum(d_mpre, axis=0, keepdims=True)
+    d_a2 = _dot_tB(d_mpre, w["w_m1"])
+    d_s2 = per_sample_dot(d_a2, f["y2"])
+    d_b2 = per_sample_rowsum(d_a2)
+    d_y2 = mod_mul1p(d_a2, 3)
+    d_x2 = d_xout + _ln_bwd(d_y2, f["y2"], f["rstd2"])
+
+    # ---- attention branch --------------------------------------------------
+    d_g1 = per_sample_dot(d_x2, f["out1"])
+    d_out1 = mod_mul(d_x2, 2)
+    d_w_o = _dot_tA(f["gated_ctx"], d_out1)
+    d_b_o = jnp.sum(d_out1, axis=0, keepdims=True)
+    d_gctx = _dot_tB(d_out1, w["w_o"])
+    d_ctx = d_gctx * f["gate_full"]
+    d_gate = sum(
+        d_gctx[:, h * dh : (h + 1) * dh] * f["ctx"][:, h * dh : (h + 1) * dh]
+        for h in range(nh)
+    )
+    d_gate_pre = d_gate * f["gate"] * (1.0 - f["gate"])
+    d_w_g = _dot_tA(f["a1"], d_gate_pre)
+    d_b_g = jnp.sum(d_gate_pre, axis=0, keepdims=True)
+    d_a1_from_gate = _dot_tB(d_gate_pre, w["w_g"])
+
+    scale = 1.0 / (dh**0.5)
+    d_q_rows, d_k_rows, d_vm_rows = [], [], []
+    for b in range(bt):
+        rows = slice(b * sp, b * sp + s)
+        dq_cols, dk_cols, dv_cols = [], [], []
+        for h in range(nh):
+            sl = slice(h * dh, (h + 1) * dh)
+            p = f["probs"][(b, h)]
+            do = d_ctx[rows, sl]
+            d_p = _dot_tB(do, f["v_mixed"][rows, sl])
+            dv_cols.append(_dot_tA(p, do))
+            d_logits = p * (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True))
+            dq_cols.append(_dot(d_logits, f["krp"][rows, sl]) * scale)
+            dk_cols.append(_dot_tA(d_logits, f["qrp"][rows, sl]) * scale)
+        d_q_rows.append(jnp.concatenate(dq_cols, axis=-1))
+        d_k_rows.append(jnp.concatenate(dk_cols, axis=-1))
+        d_vm_rows.append(jnp.concatenate(dv_cols, axis=-1))
+    d_qrp = with_row_pad(d_q_rows)
+    d_krp = with_row_pad(d_k_rows)
+    d_vm = with_row_pad(d_vm_rows) + d_vout
+
+    if spec.residual_v:
+        lam = w["lam"]
+        d_lam = jnp.sum(d_vm * (f["v"] - v0))
+        d_v = d_vm * lam
+        d_v0 = d_vm * (1.0 - lam)
+    else:
+        d_lam = jnp.zeros((), jnp.float32)
+        d_v = d_vm
+        d_v0 = jnp.zeros_like(d_vm)
+
+    d_q_cols2, d_k_cols2 = [], []
+    for h in range(nh):
+        sl = slice(h * dh, (h + 1) * dh)
+        d_qn = _rope_bwd(d_qrp[:, sl], cos_t, sin_t)
+        d_kn = _rope_bwd(d_krp[:, sl], cos_t, sin_t)
+        d_q_cols2.append(_rms_bwd(d_qn, f["q"][:, sl], f["qr_list"][h]))
+        d_k_cols2.append(_rms_bwd(d_kn, f["k"][:, sl], f["kr_list"][h]))
+    d_q = jnp.concatenate(d_q_cols2, axis=-1)
+    d_k = jnp.concatenate(d_k_cols2, axis=-1)
+
+    d_qkv = jnp.concatenate([d_q, d_k, d_v], axis=-1)
+    d_w_qkv = _dot_tA(f["a1"], d_qkv)
+    d_b_qkv = jnp.sum(d_qkv, axis=0, keepdims=True)
+    d_a1 = _dot_tB(d_qkv, w["w_qkv"]) + d_a1_from_gate
+
+    d_s1 = per_sample_dot(d_a1, f["y1"])
+    d_b1 = per_sample_rowsum(d_a1)
+    d_y1 = mod_mul1p(d_a1, 0)
+    d_x = d_x2 + _ln_bwd(d_y1, f["y1"], f["rstd1"])
+
+    # ---- write outputs ------------------------------------------------------
+    d_x_ref[:] = d_x.astype(d_x_ref.dtype)
+    for b in range(bt):
+        d_cond_ref[b] = jnp.concatenate(
+            [d_s1[b], d_b1[b], d_g1[b], d_s2[b], d_b2[b], d_g2[b]], axis=0
+        ).astype(d_cond_ref.dtype)
+    d_v0_ref[:] = d_v0.astype(d_v0_ref.dtype)
+
+    d_w_vals = [
+        d_w_qkv, d_b_qkv, d_w_o, d_b_o, d_w_g, d_b_g, d_w_m1, d_b_m1, d_w_m2, d_b_m2,
+        d_lam.reshape(1, 1),
+    ]
+    for r, val in zip(d_w_refs, d_w_vals):
+        r[:] += val
+
+
+# ====================================================== pallas_call setup ==
+
+
+def _const(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _tok_tile(bt, sp, e):
+    """Flattened token stream [B*S_pad, E], block (Bt*S_pad, E)."""
+    return pl.BlockSpec((bt * sp, e), lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+
+def _cond_tile(bt, e):
+    """adaLN branch rows travel as [B, 6, E]: each branch vector is its own
+    row so in-kernel slices start at lane offset 0 (Mosaic cannot broadcast a
+    lane-offset slice)."""
+    return pl.BlockSpec((bt, 6, e), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _weight_shapes(spec: SiTBlockSpec):
+    e, dh, m = spec.embed_dim, spec.head_dim, spec.mlp_hidden
+    return [
+        (e, 3 * e), (1, 3 * e),  # qkv
+        (e, e), (1, e),          # out
+        (e, dh), (1, dh),        # gate
+        (e, 2 * m), (1, 2 * m),  # mlp in
+        (m, e), (1, e),          # mlp out
+        (1, 1),                  # lam
+    ]
+
+
+class FusedSiTBlock:
+    """custom_vjp fused block: ``(weights, x [B,S,E], cond [B,6E], v0) ->
+    (x_out [B,S,E], v_state [B,S,E])``. cond rows are the concatenated adaLN
+    branch vectors (s1|b1|g1|s2|b2|g2); v state uses the flat [B,S,E] layout
+    (head h occupies columns [h*Dh, (h+1)*Dh))."""
+
+    def __init__(self, spec: SiTBlockSpec, rope_cos: Array, rope_sin: Array) -> None:
+        self.spec = spec
+        # rope tables padded to s_pad rows and tiled per sample: [Bt*S_pad, Dh/2].
+        # Built with numpy so lazily constructing the block inside a traced
+        # function cannot leak tracers (self must hold concrete arrays).
+        pad = spec.s_pad - spec.seq_len
+        cos = np.pad(np.asarray(rope_cos, dtype=np.float32), ((0, pad), (0, 0)))
+        sin = np.pad(np.asarray(rope_sin, dtype=np.float32), ((0, pad), (0, 0)))
+        # stored as PLAIN numpy: even jnp.asarray under an active trace
+        # yields a tracer, which must not be captured on self
+        self._cos = np.tile(cos, (spec.block_bt, 1))
+        self._sin = np.tile(sin, (spec.block_bt, 1))
+
+        @jax.custom_vjp
+        def call(kernel_weights, x, cond, v0):
+            return self._forward(kernel_weights, x, cond, v0)
+
+        def call_fwd(kernel_weights, x, cond, v0):
+            outs = self._forward(kernel_weights, x, cond, v0)
+            return outs, (kernel_weights, x, cond, v0)
+
+        def call_bwd(res, cots):
+            return self._backward(res, cots)
+
+        call.defvjp(call_fwd, call_bwd)
+        self._call = call
+
+    def __call__(self, kernel_weights: tuple, x: Array, cond: Array, v0: Array):
+        return self._call(kernel_weights, x, cond, v0)
+
+    # ------------------------------------------------------------- plumbing
+
+    def _pad_flatten(self, arrs, batch):
+        """[B, S, E] -> padded flat [pad_b*S_pad, E]; [B, 6E] -> [pad_b, 6, E]."""
+        spec = self.spec
+        bt = spec.block_bt
+        pad_b = -(-batch // bt) * bt
+        row_pad = spec.s_pad - spec.seq_len
+        out = []
+        for a in arrs:
+            if a.ndim == 3:  # [B, S, E] token stream
+                a = jnp.pad(
+                    a, ((0, pad_b - batch), (0, row_pad), (0, 0))
+                ) if (pad_b != batch or row_pad) else a
+                out.append(a.reshape(pad_b * spec.s_pad, a.shape[2]))
+            else:  # [B, 6E] cond rows -> [B, 6, E]
+                if pad_b != batch:
+                    a = jnp.pad(a, ((0, pad_b - batch), (0, 0)))
+                out.append(a.reshape(pad_b, 6, a.shape[1] // 6))
+        return out, pad_b
+
+    def _forward(self, kw, x, cond, v0):
+        spec = self.spec
+        batch, s, e = x.shape
+        (xf, condf, v0f), pad_b = self._pad_flatten([x, cond, v0], batch)
+        sp = spec.s_pad
+        grid = (pad_b // spec.block_bt,)
+        kernel = functools.partial(_fwd_kernel, spec)
+        x_out, v_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _tok_tile(spec.block_bt, sp, e),
+                _cond_tile(spec.block_bt, e),
+                _tok_tile(spec.block_bt, sp, e),
+                _const((spec.block_bt * sp, spec.head_dim // 2)),
+                _const((spec.block_bt * sp, spec.head_dim // 2)),
+                *[_const(shape) for shape in _weight_shapes(spec)],
+            ],
+            out_specs=[_tok_tile(spec.block_bt, sp, e), _tok_tile(spec.block_bt, sp, e)],
+            out_shape=[
+                jax.ShapeDtypeStruct((pad_b * sp, e), x.dtype),
+                jax.ShapeDtypeStruct((pad_b * sp, e), x.dtype),
+            ],
+            interpret=spec.interpret,
+        )(xf, condf, v0f, self._cos, self._sin, *kw)
+        x_out = x_out.reshape(pad_b, sp, e)[:batch, :s]
+        v_out = v_out.reshape(pad_b, sp, e)[:batch, :s]
+        return x_out, v_out
+
+    def _backward(self, res, cots):
+        spec = self.spec
+        kw, x, cond, v0 = res
+        d_xout, d_vout = cots
+        batch, s, e = x.shape
+        (xf, condf, v0f, d_xoutf, d_voutf), pad_b = self._pad_flatten(
+            [x, cond, v0, d_xout, d_vout], batch
+        )
+        sp = spec.s_pad
+        grid = (pad_b // spec.block_bt,)
+        w_shapes = _weight_shapes(spec)
+        kernel = functools.partial(_bwd_kernel, spec)
+        results = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _tok_tile(spec.block_bt, sp, e),
+                _cond_tile(spec.block_bt, e),
+                _tok_tile(spec.block_bt, sp, e),
+                _const((spec.block_bt * sp, spec.head_dim // 2)),
+                _const((spec.block_bt * sp, spec.head_dim // 2)),
+                *[_const(shape) for shape in w_shapes],
+                _tok_tile(spec.block_bt, sp, e),
+                _tok_tile(spec.block_bt, sp, e),
+            ],
+            out_specs=[
+                _tok_tile(spec.block_bt, sp, e),
+                _cond_tile(spec.block_bt, e),
+                _tok_tile(spec.block_bt, sp, e),
+                *[_const(shape) for shape in w_shapes],
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((pad_b * sp, e), jnp.float32),
+                jax.ShapeDtypeStruct((pad_b, 6, e), jnp.float32),
+                jax.ShapeDtypeStruct((pad_b * sp, e), jnp.float32),
+                *[jax.ShapeDtypeStruct(shape, jnp.float32) for shape in w_shapes],
+            ],
+            interpret=spec.interpret,
+        )(xf, condf, v0f, self._cos, self._sin, *kw, d_xoutf, d_voutf)
+
+        d_x = results[0].reshape(pad_b, sp, e)[:batch, :s]
+        d_cond = results[1][:batch].reshape(batch, 6 * e)
+        d_v0 = results[2].reshape(pad_b, sp, e)[:batch, :s]
+        d_kw = tuple(results[3:])
+        if not spec.residual_v:
+            d_v0 = jnp.zeros_like(d_v0)
+        return (d_kw, d_x, d_cond, d_v0)
+
+
+def pack_block_weights(spec: SiTBlockSpec, params: dict) -> tuple:
+    """Pack an ops.sit block param dict into the kernel operand tuple."""
+    attn = params["attn"]
+    mlp = params["mlp"]
+    lam = attn.get("v_residual_lambda")
+    lam_arr = (
+        jnp.asarray(lam, jnp.float32).reshape(1, 1)
+        if lam is not None
+        else jnp.zeros((1, 1), jnp.float32)
+    )
+    f32 = lambda a: a.astype(jnp.float32)
+    return (
+        f32(attn["qkv_proj"]["w"]),
+        f32(attn["qkv_proj"]["b"]).reshape(1, -1),
+        f32(attn["out_proj"]["w"]),
+        f32(attn["out_proj"]["b"]).reshape(1, -1),
+        f32(attn["gate_proj"]["w"]),
+        f32(attn["gate_proj"]["b"]).reshape(1, -1),
+        f32(mlp["input_proj"]["w"]),
+        f32(mlp["input_proj"]["b"]).reshape(1, -1),
+        f32(mlp["output_proj"]["w"]),
+        f32(mlp["output_proj"]["b"]).reshape(1, -1),
+        lam_arr,
+    )
