@@ -105,12 +105,77 @@ def _summarize(name, posterior, param_names, n_iterations, elapsed) -> dict:
     return result
 
 
+def run_lorenz(n_iterations: int) -> dict:
+    import jax
+    from lorenz63 import StochasticLorenz63, simulate_observations, TRUE_PARAMS
+
+    observations = simulate_observations(jax.random.key(17))
+    t0 = time.perf_counter()
+    posterior = vt.infer(
+        sde=StochasticLorenz63(),
+        observations=observations,
+        observation_likelihood=vt.GaussianObservationLikelihood(variance=1.0),
+        prior=vt.Prior(type=vt.PriorType.LOG_NORMAL, mean=1.0, std=1.5, dim=3),
+        time_horizon=20.0,
+        config=vt.InferenceConfig(
+            training=vt.TrainingConfig(time_step=0.01, batch_size=32, n_iterations=n_iterations),
+            encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
+            head=vt.HeadConfig(hidden_dim=64, num_layers=2),
+            sde_param_positive_dims=[0, 1, 2],
+            param_names=["sigma_L", "rho", "beta"],
+            pretrain=vt.PretrainConfig(n_iterations=300, batch_size=1024),
+            console=vt.Console(enabled=False),
+        ),
+    )
+    elapsed = time.perf_counter() - t0
+    result = _summarize("lorenz", posterior, ["sigma_L", "rho", "beta"], n_iterations, elapsed)
+    result["true_params"] = list(TRUE_PARAMS)
+    (Path(__file__).parent / "results_lorenz.json").write_text(json.dumps(result, indent=2))
+    return result
+
+
+def run_sir(n_iterations: int) -> dict:
+    import jax.numpy as jnp
+    from sir_epidemic import SIR, POPULATION
+
+    observations = vt.Observations(
+        times=[0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+        values=[[5.0], [14.0], [42.0], [95.0], [155.0], [170.0], [130.0], [85.0], [50.0]],
+    )
+    t0 = time.perf_counter()
+    posterior = vt.infer(
+        sde=SIR(),
+        observations=observations,
+        observation_likelihood=vt.GaussianObservationLikelihood(
+            variance=4.0, obs_matrix=[[0.0, 1.0]]
+        ),
+        prior=vt.Prior(type=vt.PriorType.LOG_NORMAL, mean=0.0, std=1.0, dim=2),
+        time_horizon=8.0,
+        config=vt.InferenceConfig(
+            training=vt.TrainingConfig(time_step=0.02, batch_size=64, n_iterations=n_iterations),
+            encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
+            head=vt.HeadConfig(hidden_dim=64, num_layers=2),
+            state_positive_dims=[0, 1],
+            sde_param_positive_dims=[0, 1],
+            param_names=["beta", "gamma"],
+            x0=jnp.asarray([POPULATION - 5.0, 5.0]),
+            console=vt.Console(enabled=False),
+        ),
+    )
+    elapsed = time.perf_counter() - t0
+    return _summarize("sir", posterior, ["beta", "gamma"], n_iterations, elapsed)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     iters = None
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
-    if which in ("ou", "both"):
+    if which in ("ou", "both", "all"):
         run_ou(iters or 20000)
-    if which in ("lv", "both"):
+    if which in ("lv", "both", "all"):
         run_lv(iters or 30000)
+    if which in ("lorenz", "all"):
+        run_lorenz(iters or 10000)
+    if which in ("sir", "all"):
+        run_sir(iters or 10000)

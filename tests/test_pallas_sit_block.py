@@ -95,3 +95,36 @@ def test_batch_padding():
     want_out, _ = _reference(cfg, params, 1, x, cond, rope, v0)
     got_out, _ = _fused_call(fused, params, x, cond, v0)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out), rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_level_fused_parity():
+    """Whole-encoder fused path == standard SiT path (fp32, interpret)."""
+    from viforsdes_tpu.config import EncoderConfig
+    from viforsdes_tpu.models.encoder import ObservationContextEncoder
+
+    def build(fused):
+        return ObservationContextEncoder.build(
+            1, 3,
+            EncoderConfig(hidden_dim=16, cond_dim=8, num_heads=2, depth=2, fused_blocks=fused),
+            obs_times=np.asarray([0.0, 1.0, 2.0]), time_horizon=2.0, time_step=0.5,
+        )
+
+    enc_std, enc_fused = build("off"), build("on")
+    params = enc_std.init(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(7), p.shape), params
+    )
+    obs = jnp.asarray([[2.0], [1.0], [0.5]])
+    theta = jax.random.normal(jax.random.key(1), (4, 3))
+
+    c_std = enc_std(params, obs, theta, compute_dtype=jnp.float32)
+    c_fused = enc_fused(params, obs, theta, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(c_fused), np.asarray(c_std), rtol=2e-5, atol=2e-5)
+
+    def loss(enc):
+        return lambda p, th: jnp.sum(enc(p, obs, th, compute_dtype=jnp.float32) ** 2)
+
+    gs = jax.grad(loss(enc_std), argnums=(0, 1))(params, theta)
+    gf = jax.grad(loss(enc_fused), argnums=(0, 1))(params, theta)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-5)

@@ -27,6 +27,7 @@ from viforsdes_tpu.core import (
     make_sde,
 )
 from viforsdes_tpu.infer import InferenceConfig, infer
+from viforsdes_tpu.inference.trainer import TrainingState, VariationalInferenceTrainer
 from viforsdes_tpu.parallel.mesh import make_data_mesh
 from viforsdes_tpu.posterior.posterior import VariationalPosterior
 from viforsdes_tpu.utils.console import Console
@@ -46,6 +47,8 @@ __all__ = [
     "euler_maruyama",
     "InferenceConfig",
     "infer",
+    "VariationalInferenceTrainer",
+    "TrainingState",
     "VariationalPosterior",
     "Console",
     "TrainingConfig",

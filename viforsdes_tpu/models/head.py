@@ -58,14 +58,12 @@ def _gru_cell(
     r = sig(gi_r + gh_r); z = sig(gi_z + gh_z); n = tanh(gi_n + r*gh_n);
     h' = (1-z)*n + z*h  (ref ``kernels/forward.py:83-88``).
     """
-    hidden = h.shape[-1]
     gh = jnp.dot(h, w_hh, precision=_FP32) + b_hh
     gi_r, gi_z, gi_n = jnp.split(gates_in, 3, axis=-1)
     gh_r, gh_z, gh_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(gi_r + gh_r)
     z = jax.nn.sigmoid(gi_z + gh_z)
     n = jnp.tanh(gi_n + r * gh_n)
-    del hidden
     return (1.0 - z) * n + z * h
 
 
