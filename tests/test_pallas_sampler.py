@@ -126,3 +126,26 @@ def test_non_divisible_batch_padding():
     p_s, m_s, c_s = scan_head.sample_diffusion_paths(params, x0, ctx, theta, noise, 0.1)
     p_p, m_p, c_p = pallas_head.sample_diffusion_paths(params, x0, ctx, theta, noise, 0.1)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_s), rtol=1e-5, atol=1e-5)
+
+
+def test_high_dim_state_parity():
+    """d=32 (n_tril=528, the BASELINE ladder-5 scale): one-hot tril algebra
+    must stay exact at large state dims."""
+    scan_head, pallas_head = _heads(32, 1, hidden=16, context_dim=8)
+    params = _active_params(scan_head, jax.random.key(8))
+    x0, ctx, theta, noise = _inputs(jax.random.key(9), B=2, T=2, state_dim=32, context_dim=8)
+    p_s, m_s, c_s = scan_head.sample_diffusion_paths(params, x0, ctx, theta, noise, 0.1)
+    p_p, m_p, c_p = pallas_head.sample_diffusion_paths(params, x0, ctx, theta, noise, 0.1)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s), rtol=1e-5, atol=1e-5)
+
+    def loss(head):
+        def f(p):
+            paths, means, chols = head.sample_diffusion_paths(p, x0, ctx, theta, noise, 0.1)
+            return jnp.sum(paths**2) + jnp.sum(chols**2)
+        return f
+
+    g_s = jax.grad(loss(scan_head))(params)
+    g_p = jax.grad(loss(pallas_head))(params)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)

@@ -130,6 +130,13 @@ def sit_init(key: Array, cfg: SiTConfig, *, policy: InitPolicy = DEFAULT_INIT_PO
     }
 
 
+# Above this grid length, blocks are rematerialized: full-attention backward
+# stores O(S^2) probabilities per block, which at S ~ 2000 exceeds HBM
+# (8 blocks x [B, H, S, S] fp32). Remat trades one extra block forward for
+# holding at most ONE block's attention residuals at a time.
+REMAT_SEQ_THRESHOLD = 512
+
+
 def sit(
     params: dict,
     cfg: SiTConfig,
@@ -137,14 +144,20 @@ def sit(
     *,
     cond: Array,
     rotary: RotaryTables | None = None,
+    remat: bool | None = None,
 ) -> Array:
     """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``)."""
+    if remat is None:
+        remat = x.shape[1] > REMAT_SEQ_THRESHOLD
     tokens = linear(params["input_proj"], x)
     cached_v: Array | None = None
     for idx, block_params in enumerate(params["blocks"]):
-        tokens, block_value = sit_block(
-            block_params, cfg, idx, tokens, cond=cond, rotary=rotary, v0=cached_v
-        )
+        def block_fn(bp, tokens_, cond_, v0_, idx=idx):
+            return sit_block(bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_)
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        tokens, block_value = block_fn(block_params, tokens, cond, cached_v)
         if cached_v is None:
             cached_v = block_value
     return linear(params["output_proj"], tokens)
