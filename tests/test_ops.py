@@ -231,3 +231,25 @@ class TestSiT:
         grads = jax.grad(lambda p: jnp.sum(sit(p, cfg, x, cond=cond) ** 2))(params)
         norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
         assert all(n > 0 for n in norms), "some params receive zero gradient"
+
+
+class TestSiTRemat:
+    def test_remat_matches_plain(self):
+        """jax.checkpoint'd blocks (long-grid memory fix) are bit-compatible."""
+        cfg = SiTConfig(
+            in_dim=8, hidden_dim=8, out_dim=8, cond_dim=4, num_heads=2, depth=3,
+            mlp_hidden_dim=16,
+        )
+        params = sit_init(jax.random.key(0), cfg)
+        params = jax.tree.map(
+            lambda p: p + 0.01 * jax.random.normal(jax.random.key(9), p.shape), params
+        )
+        x = jax.random.normal(jax.random.key(1), (2, 6, 8))
+        cond = jax.random.normal(jax.random.key(2), (2, 4))
+        out_plain = sit(params, cfg, x, cond=cond, remat=False)
+        out_remat = sit(params, cfg, x, cond=cond, remat=True)
+        np.testing.assert_allclose(np.asarray(out_remat), np.asarray(out_plain), rtol=1e-6)
+        g1 = jax.grad(lambda p: jnp.sum(sit(p, cfg, x, cond=cond, remat=False) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(sit(p, cfg, x, cond=cond, remat=True) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
