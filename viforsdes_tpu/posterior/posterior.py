@@ -122,11 +122,26 @@ class VariationalPosterior:
         )
         return theta, sample.x
 
+    # Posterior draws are evaluated in chunks: one giant batch materializes
+    # encoder activations of [n, n_grid, mlp_hidden] (10+ GB for n=1000 on a
+    # 2000-step grid) and OOMs the chip. Chunking costs at most two compiles.
+    SAMPLE_CHUNK = 256
+
     def sample(self, n: int) -> VariationalPosteriorSamples:
-        self._n_sampled += 1
-        key = jax.random.fold_in(self._key, self._n_sampled)
-        theta, x = self._sample_jit(self.ema_params, n, key)
-        return VariationalPosteriorSamples(sde_parameters=theta, diffusion_paths=x)
+        thetas, xs = [], []
+        done = 0
+        while done < n:
+            c = min(self.SAMPLE_CHUNK, n - done)
+            self._n_sampled += 1
+            key = jax.random.fold_in(self._key, self._n_sampled)
+            theta, x = self._sample_jit(self.ema_params, c, key)
+            thetas.append(theta)
+            xs.append(x)
+            done += c
+        return VariationalPosteriorSamples(
+            sde_parameters=jnp.concatenate(thetas, axis=0),
+            diffusion_paths=jnp.concatenate(xs, axis=0),
+        )
 
     # --------------------------------------------------------------- summary
 
