@@ -127,6 +127,9 @@ class ObservationContextEncoder:
                         num_heads=cfg.num_heads,
                         mlp_hidden=self.sit_config.mlp_hidden_dim,
                         residual_v=idx > 0,
+                        # interpret mode (CPU) has no MXU: use exact fp32 so
+                        # the fused path matches the XLA path bit-for-bit
+                        mxu_dtype="fp32" if interpret else "bf16",
                         interpret=interpret,
                     ),
                     self.rotary.cos,
