@@ -59,7 +59,16 @@ def gaussian_log_prob(x: Array, mu: Array, L: Array) -> Array:
     """``log N(x; mu, L L^T)`` summed over time: ``[B,T,D] -> [B]``
     (ref ``elbo.py:77-83``)."""
     d = x.shape[-1]
-    y = tril_solve_unrolled(L, x - mu)
+    if d <= 4:
+        # unrolled forward substitution: a few fused VPU ops for tiny D
+        y = tril_solve_unrolled(L, x - mu)
+    else:
+        # batched triangular solve for larger D: the unrolled version's
+        # autodiff scatters a full [.., D, D] gradient per term (O(D^2)
+        # array materializations — 99 GB at D=32, B=1024, T=100)
+        y = jax.lax.linalg.triangular_solve(
+            L, (x - mu)[..., None], left_side=True, lower=True
+        )[..., 0]
     log_det = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     per_step = -0.5 * jnp.sum(y * y, axis=-1) - log_det - 0.5 * d * _LOG_2PI
     return jnp.sum(per_step, axis=-1)

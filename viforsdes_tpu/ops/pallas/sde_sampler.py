@@ -65,6 +65,25 @@ def _pick_chunk(n_steps: int, max_chunk: int) -> int:
     return 1
 
 
+# Per-kernel VMEM budget for the double-buffered streams (the 16 MB scoped
+# limit must also hold weights, scratch, and live temporaries).
+_STREAM_VMEM_BUDGET = 6_000_000
+
+
+def _fit_chunk_and_block(n_steps: int, max_chunk: int, block_b: int, lanes: int):
+    """Shrink (t_chunk, block_b) until the double-buffered stream blocks fit
+    the VMEM budget — stream width grows with state_dim (n_tril ~ d^2/2), so
+    a fixed chunk OOMs large-d configs."""
+    while True:
+        tc = _pick_chunk(n_steps, max_chunk)
+        while tc > 1 and tc * block_b * lanes * 4 * 2 > _STREAM_VMEM_BUDGET:
+            max_chunk = tc - 1
+            tc = _pick_chunk(n_steps, max_chunk)
+        if tc * block_b * lanes * 4 * 2 <= _STREAM_VMEM_BUDGET or block_b <= 8:
+            return tc, block_b
+        block_b = max(8, block_b // 2)
+
+
 class SamplerSpec(NamedTuple):
     """Static configuration of one fused-sampler instantiation."""
 
@@ -538,9 +557,10 @@ class FusedPathSampler:
         batch, n_steps, _ = gates_const.shape
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         n_out = d + spec.n_tril
-        tc = _pick_chunk(n_steps, spec.max_t_chunk)
-
+        # fwd streams per step: gates 3H + eps d + paths d + raw n_out (+ h LH)
+        lanes = 3 * h + 2 * d + n_out + L * h
         block_b = min(spec.block_b, _round_up(batch, 8))
+        tc, block_b = _fit_chunk_and_block(n_steps, spec.max_t_chunk, block_b, lanes)
         pad_b = _round_up(batch, block_b)
         if pad_b != batch:
             pad = ((0, pad_b - batch), (0, 0), (0, 0))
@@ -601,10 +621,12 @@ class FusedPathSampler:
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         L1 = max(L - 1, 1)
         n_out = d + spec.n_tril
-        tc = _pick_chunk(n_steps, spec.max_t_chunk_bwd)
-        n_chunks = n_steps // tc
-
+        # bwd streams per step: gates 3H, eps/x/d_paths/d_means 4d, h x2 2LH,
+        # raw n_out, d_cholv n_tril, d_gc out 3H
+        lanes = 6 * h + 4 * d + 2 * L * h + n_out + spec.n_tril
         block_b = min(spec.block_b, _round_up(batch, 8))
+        tc, block_b = _fit_chunk_and_block(n_steps, spec.max_t_chunk_bwd, block_b, lanes)
+        n_chunks = n_steps // tc
         pad_b = _round_up(batch, block_b)
 
         def tmaj(a):
