@@ -1,8 +1,8 @@
-"""Quality-parity evaluation: run the headline OU and Lotka-Volterra configs
-to convergence and record posterior summaries (BASELINE.md quality rows).
+"""Quality-parity evaluation: run the BASELINE.md config-ladder models to
+convergence and record posterior summaries.
 
-Usage: python benchmarks/quality_eval.py [ou|lv|both] [--iters N]
-Writes benchmarks/results_<name>.json.
+Usage: python benchmarks/quality_eval.py [ou|lv|both|lorenz|sir|all] [--iters N]
+Writes benchmarks/results_<name>.json (committed results are round evidence).
 """
 
 from __future__ import annotations
