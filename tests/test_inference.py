@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from viforsdes_tpu.config import EncoderConfig, HeadConfig, PretrainConfig, TrainingConfig
@@ -41,11 +42,23 @@ class TestGaussianLogProb:
         want = np.stack([np.linalg.solve(L[i], b[i]) for i in range(5)])
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
-    def test_matches_scipy_mvn(self):
-        rng = np.random.default_rng(1)
-        B, T, D = 2, 4, 3
+    # D=3 exercises the unrolled tril-solve branch, D=8 the
+    # lax.linalg.triangular_solve branch used for large state dims.
+    @staticmethod
+    def _pos_diag_tril(rng, B, T, D):
+        """Random lower-tri with strictly positive diag (the model's Choleskys
+        always have diag >= DIAG_MIN; log-det assumes positivity)."""
         A = rng.normal(size=(B, T, D, D))
-        L = np.tril(A) + 2 * np.eye(D)
+        L = np.tril(A, -1)
+        idx = np.arange(D)
+        L[..., idx, idx] = np.abs(A[..., idx, idx]) + 0.5
+        return L
+
+    @pytest.mark.parametrize("D", [3, 8])
+    def test_matches_scipy_mvn(self, D):
+        rng = np.random.default_rng(1)
+        B, T = 2, 4
+        L = self._pos_diag_tril(rng, B, T, D)
         mu = rng.normal(size=(B, T, D))
         x = rng.normal(size=(B, T, D))
         got = np.asarray(gaussian_log_prob(jnp.asarray(x), jnp.asarray(mu), jnp.asarray(L)))
@@ -55,6 +68,21 @@ class TestGaussianLogProb:
                 cov = L[b, t] @ L[b, t].T
                 want[b] += scipy.stats.multivariate_normal.logpdf(x[b, t], mu[b, t], cov)
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    @pytest.mark.parametrize("D", [3, 8])
+    def test_gradients_finite_both_branches(self, D):
+        rng = np.random.default_rng(2)
+        B, T = 2, 4
+        L = self._pos_diag_tril(rng, B, T, D)
+        mu = rng.normal(size=(B, T, D))
+        x = rng.normal(size=(B, T, D))
+
+        def total(mu_, L_):
+            return gaussian_log_prob(jnp.asarray(x), mu_, L_).sum()
+
+        g_mu, g_L = jax.grad(total, argnums=(0, 1))(jnp.asarray(mu), jnp.asarray(L))
+        assert bool(jnp.all(jnp.isfinite(g_mu)))
+        assert bool(jnp.all(jnp.isfinite(g_L)))
 
 
 class TestObservationIndices:

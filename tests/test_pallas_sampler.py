@@ -94,6 +94,53 @@ def test_gradient_parity(state_dim, num_layers):
         )
 
 
+@pytest.mark.parametrize("state_dim,num_layers", [(1, 2), (3, 1)])
+def test_gradient_parity_wrt_noise(state_dim, num_layers):
+    """Scan and Pallas must agree on the NOISE cotangent too (pathwise /
+    antithetic / STL estimators differentiate through eps). The Pallas rule is
+    d_eps = ((d_x_next @ R^T) * vals_clamped) @ C * sqrt(dt)."""
+    scan_head, pallas_head = _heads(state_dim, num_layers)
+    params = _active_params(scan_head, jax.random.key(10))
+    x0, ctx, theta, noise = _inputs(jax.random.key(11), B=4, T=5, state_dim=state_dim)
+    dt = 0.1
+
+    def make_loss(head):
+        def f(eps):
+            paths, means, chols = head.sample_diffusion_paths(params, x0, ctx, theta, eps, dt)
+            return (
+                jnp.sum(paths * jnp.cos(jnp.arange(paths.size).reshape(paths.shape)))
+                + 0.5 * jnp.sum(means**2)
+                + 0.2 * jnp.sum(chols**2)
+            )
+        return f
+
+    g_s = jax.grad(make_loss(scan_head))(noise)
+    g_p = jax.grad(make_loss(pallas_head))(noise)
+    assert float(jnp.max(jnp.abs(g_s))) > 1e-3  # the cotangent is non-trivial
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), rtol=2e-4, atol=2e-5)
+
+
+def test_gradient_parity_wrt_noise_at_clamp_boundary():
+    """The noise cotangent flows through the CLAMPED Cholesky values: when the
+    raw diag sits below DIAG_MIN, d_eps must use the clamped vals."""
+    scan_head, pallas_head = _heads(2, 1)
+    params = _active_params(scan_head, jax.random.key(12))
+    b = np.asarray(params["out_proj"]["b"]).copy()
+    b[2] = -0.5  # diag0 raw ~ -0.5 < DIAG_MIN -> clamped
+    params["out_proj"]["b"] = jnp.asarray(b)
+    x0, ctx, theta, noise = _inputs(jax.random.key(13), B=3, T=4, state_dim=2)
+
+    def make_loss(head):
+        def f(eps):
+            paths, _, _ = head.sample_diffusion_paths(params, x0, ctx, theta, eps, 0.1)
+            return jnp.sum(paths**2)
+        return f
+
+    g_s = jax.grad(make_loss(scan_head))(noise)
+    g_p = jax.grad(make_loss(pallas_head))(noise)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s), rtol=2e-4, atol=2e-5)
+
+
 def test_gradient_parity_at_clamp_boundary():
     """lower_bound rule must match when the Cholesky diag sits below DIAG_MIN."""
     scan_head, pallas_head = _heads(2, 2)

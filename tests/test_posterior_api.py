@@ -90,6 +90,58 @@ class TestVariationalPosterior:
         s = loaded.sample(2)
         assert s.diffusion_paths.shape == (2, 5, 1)
 
+    def test_save_load_preserves_x0(self, trained_posterior, tmp_path):
+        """An explicit x0 survives the checkpoint roundtrip (a reloaded
+        partial-observation posterior must not silently fall back to
+        x0 = observations.values[0])."""
+        src = trained_posterior
+        custom = vt.VariationalPosterior(
+            model=src.model,
+            params=src.params,
+            ema_params=src.ema_params,
+            prior=src.prior,
+            observations=src.observations,
+            time_horizon=src.time_horizon,
+            time_step=src.time_step,
+            state_space=src.state_space,
+            evidence_lower_bound_history=src.evidence_lower_bound_history,
+            x0=jnp.asarray([7.5]),
+        )
+        p = tmp_path / "ckpt_x0.npz"
+        custom.save(p)
+        loaded = vt.VariationalPosterior.load(
+            p, src.model, src.prior, src.observations
+        )
+        np.testing.assert_allclose(np.asarray(loaded._x0_single), [7.5])
+
+    def test_partial_observation_requires_x0(self, trained_posterior):
+        """obs_dim != state_dim with no explicit x0 raises instead of
+        broadcasting a wrong initial state."""
+        src = trained_posterior
+        model2 = vt.VariationalSDEPosterior(
+            observation_dim=1,
+            state_dim=2,
+            sde_param_dim=3,
+            encoder_config=vt.EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=vt.HeadConfig(hidden_dim=8, num_layers=1),
+            sde_param_positive_dims=[0, 2],
+            obs_times=np.asarray([0.0, 1.0, 2.0]),
+            time_horizon=2.0,
+            time_step=0.5,
+        )
+        with pytest.raises(ValueError, match="explicit x0"):
+            vt.VariationalPosterior(
+                model=model2,
+                params=src.params,
+                ema_params=src.ema_params,
+                prior=src.prior,
+                observations=src.observations,
+                time_horizon=src.time_horizon,
+                time_step=src.time_step,
+                state_space=vt.StateSpace(2, []),
+                evidence_lower_bound_history=[],
+            )
+
 
 class TestInferValidation:
     def _obs(self, times, values):

@@ -28,6 +28,7 @@ from viforsdes_tpu.core import (
 )
 from viforsdes_tpu.infer import InferenceConfig, infer
 from viforsdes_tpu.inference.trainer import TrainingState, VariationalInferenceTrainer
+from viforsdes_tpu.models.model import VariationalSDEPosterior
 from viforsdes_tpu.parallel.mesh import make_data_mesh
 from viforsdes_tpu.posterior.posterior import VariationalPosterior
 from viforsdes_tpu.utils.console import Console
@@ -50,6 +51,7 @@ __all__ = [
     "VariationalInferenceTrainer",
     "TrainingState",
     "VariationalPosterior",
+    "VariationalSDEPosterior",
     "Console",
     "TrainingConfig",
     "EncoderConfig",

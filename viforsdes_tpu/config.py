@@ -71,7 +71,12 @@ class EncoderConfig(YamlConfig):
     num_heads: int = 4
     depth: int = 4
     mlp_ratio: float = 8 / 3
-    # Fused Pallas SiT-block kernel: "auto" = on TPU, "on", "off".
+    # Fused Pallas SiT-block kernels:
+    #   "auto"  = split kernels on TPU, XLA elsewhere (the measured-fastest
+    #             default — see BASELINE.md round 2);
+    #   "split" = attention-half + MLP-half kernels (force);
+    #   "on"    = legacy whole-block kernel (XLA-parity speed, kept tested);
+    #   "off"   = pure XLA path.
     fused_blocks: str = "auto"
 
     @field_validator("hidden_dim", "cond_dim", "num_heads", "depth")
@@ -91,8 +96,8 @@ class EncoderConfig(YamlConfig):
     @field_validator("fused_blocks")
     @classmethod
     def validate_fused(cls, v: str) -> str:
-        if v not in ("auto", "on", "off"):
-            raise ValueError("fused_blocks must be 'auto', 'on' or 'off'")
+        if v not in ("auto", "on", "off", "split"):
+            raise ValueError("fused_blocks must be 'auto', 'on', 'off' or 'split'")
         return v
 
     @model_validator(mode="after")

@@ -178,6 +178,10 @@ class VariationalInferenceTrainer:
 
         self.step = 0
         self._start_step = 0
+        # Number of optimizer steps actually applied to params — the source of
+        # truth for checkpoint resume (the ELBO history can lag behind when
+        # metrics are pending on device).
+        self._completed_steps = 0
         self.evidence_lower_bound_history: list[float] = []
         self.best_evidence_lower_bound = float("-inf")
 
@@ -198,9 +202,7 @@ class VariationalInferenceTrainer:
                 "ema": self.ema_params,
             },
             metadata={
-                "next_step": self._start_step
-                if not self.evidence_lower_bound_history
-                else len(self.evidence_lower_bound_history),
+                "next_step": self._completed_steps,
                 "evidence_lower_bound_history": [
                     float(v) for v in self.evidence_lower_bound_history
                 ],
@@ -220,6 +222,12 @@ class VariationalInferenceTrainer:
                 "opt_state": self.opt_state,
                 "ema": self.ema_params,
             },
+            required_metadata=(
+                "next_step",
+                "evidence_lower_bound_history",
+                "best_evidence_lower_bound",
+            ),
+            kind="trainer",
         )
         self.params = trees["params"]
         self.opt_state = trees["opt_state"]
@@ -233,6 +241,7 @@ class VariationalInferenceTrainer:
         )
         self.best_evidence_lower_bound = meta["best_evidence_lower_bound"]
         self._start_step = int(meta["next_step"])
+        self._completed_steps = self._start_step
         self.step = max(self._start_step - 1, 0)
 
     # ------------------------------------------------------------ train step
@@ -372,6 +381,7 @@ class VariationalInferenceTrainer:
                 self.params, self.opt_state, self.ema_params, metrics = (
                     self._train_step(self.params, self.opt_state, self.ema_params, key)
                 )
+                self._completed_steps = step + 1
                 pending.append((step, metrics))
                 if (step + 1) % update_interval == 0:
                     flush(progress)

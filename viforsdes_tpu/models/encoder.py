@@ -70,6 +70,7 @@ class ObservationContextEncoder:
             end=max(_ROPE_MIN_LEN, n_grid),
         ).slice_to(n_grid)
         self._fused_blocks: list | None = None
+        self._fused_blocks_mode: str | None = None
 
     @classmethod
     def build(
@@ -113,60 +114,117 @@ class ObservationContextEncoder:
 
     # ------------------------------------------------------- fused SiT path
 
-    def _get_fused_blocks(self) -> list:
-        from viforsdes_tpu.ops.pallas.sit_block import FusedSiTBlock, SiTBlockSpec
-
-        if self._fused_blocks is None:
+    def _get_fused_blocks(self, mode: str) -> list:
+        if self._fused_blocks is None or self._fused_blocks_mode != mode:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
-            self._fused_blocks = [
-                FusedSiTBlock(
-                    SiTBlockSpec(
-                        seq_len=self.n_grid,
-                        embed_dim=cfg.hidden_dim,
-                        num_heads=cfg.num_heads,
-                        mlp_hidden=self.sit_config.mlp_hidden_dim,
-                        residual_v=idx > 0,
-                        # interpret mode (CPU) has no MXU: use exact fp32 so
-                        # the fused path matches the XLA path bit-for-bit
-                        mxu_dtype="fp32" if interpret else "bf16",
-                        interpret=interpret,
-                    ),
-                    self.rotary.cos,
-                    self.rotary.sin,
+            # interpret mode (CPU) has no MXU: use exact fp32 so the fused
+            # path matches the XLA path bit-for-bit
+            mxu = "fp32" if interpret else "bf16"
+            if mode == "split":
+                from viforsdes_tpu.ops.pallas.sit_split import (
+                    FusedSplitSiTBlock,
+                    SplitBlockSpec,
                 )
-                for idx in range(cfg.depth)
-            ]
+
+                # Batch tiles scale down with the grid length so the tile's
+                # token rows (and the [S, S] attention probs held in VMEM)
+                # stay within budget; backward holds ~2x the live values.
+                sp = ((self.n_grid + 7) // 8) * 8
+                bt_fwd = max(1, 832 // sp)
+                bt_bwd = max(1, 416 // sp)
+                self._fused_blocks = [
+                    FusedSplitSiTBlock(
+                        SplitBlockSpec(
+                            seq_len=self.n_grid,
+                            embed_dim=cfg.hidden_dim,
+                            num_heads=cfg.num_heads,
+                            mlp_hidden=self.sit_config.mlp_hidden_dim,
+                            residual_v=idx > 0,
+                            bt_attn_fwd=bt_fwd,
+                            bt_attn_bwd=bt_bwd,
+                            bt_mlp_fwd=bt_fwd,
+                            bt_mlp_bwd=bt_bwd,
+                            mxu_dtype=mxu,
+                            interpret=interpret,
+                        ),
+                        self.rotary.cos,
+                        self.rotary.sin,
+                    )
+                    for idx in range(cfg.depth)
+                ]
+            else:
+                from viforsdes_tpu.ops.pallas.sit_block import (
+                    FusedSiTBlock,
+                    SiTBlockSpec,
+                )
+
+                self._fused_blocks = [
+                    FusedSiTBlock(
+                        SiTBlockSpec(
+                            seq_len=self.n_grid,
+                            embed_dim=cfg.hidden_dim,
+                            num_heads=cfg.num_heads,
+                            mlp_hidden=self.sit_config.mlp_hidden_dim,
+                            residual_v=idx > 0,
+                            mxu_dtype=mxu,
+                            interpret=interpret,
+                        ),
+                        self.rotary.cos,
+                        self.rotary.sin,
+                    )
+                    for idx in range(cfg.depth)
+                ]
+            self._fused_blocks_mode = mode
         return self._fused_blocks
 
-    def _sit_fused(self, params: dict, h: Array, cond: Array) -> Array:
+    def _sit_fused(self, params: dict, h: Array, cond: Array, mode: str) -> Array:
         """Fused-kernel SiT: input_proj -> fused blocks -> output_proj.
 
         Per block, the adaLN-Zero projection (one [B,C]@[C,6E] matmul whose
         output is exactly the (s1|b1|g1|s2|b2|g2) layout the kernel wants)
-        stays in XLA; everything else runs inside the kernel."""
-        from viforsdes_tpu.ops.pallas.sit_block import pack_block_weights
+        stays in XLA; everything else runs inside the kernel(s)."""
+        if mode == "split":
+            from viforsdes_tpu.ops.pallas.sit_split import pack_split_weights as pack
+        else:
+            from viforsdes_tpu.ops.pallas.sit_block import pack_block_weights as pack
 
         sit_p = params["sit"]
-        blocks = self._get_fused_blocks()
+        blocks = self._get_fused_blocks(mode)
         tokens = linear(sit_p["input_proj"], h)
         v0 = jnp.zeros_like(tokens)
         for idx, bp in enumerate(sit_p["blocks"]):
             cond_vec = linear(bp["cond"]["net"], jax.nn.silu(cond))
-            kw = pack_block_weights(blocks[idx].spec, bp)
+            kw = pack(blocks[idx].spec, bp)
             tokens, v_state = blocks[idx](kw, tokens, cond_vec, v0)
             if idx == 0:
                 v0 = v_state
         return linear(sit_p["output_proj"], tokens)
 
-    def _use_fused(self) -> bool:
-        # "auto" currently resolves to OFF: interleaved same-process
-        # measurements on v5e (OU headline config) put the fused block at
-        # parity with the XLA path (~16 ms/step both under ambient load),
-        # with the kernel VMEM-bound at batch-tile 2. It is correct
-        # (gradient-parity tested) and available with fused_blocks="on".
+    # Above this grid length the fused kernels' whole-sequence attention
+    # ([S, S] probabilities resident in VMEM) no longer fits; long grids fall
+    # back to the XLA path (remat'd, SURVEY §5.7) until a blockwise/flash
+    # variant exists.
+    _FUSED_MAX_GRID = 512
+
+    def _fused_mode(self) -> str | None:
+        """Resolve fused_blocks config to a kernel family (or None for XLA).
+
+        "auto" resolves to the split kernels on TPU for grids that fit VMEM
+        (measured faster than the XLA path on the OU headline config — see
+        BASELINE.md round 2); the whole-block kernel ("on") is kept at parity
+        as a tested alternative.
+        """
         mode = getattr(self.config, "fused_blocks", "off")
-        return mode == "on"
+        if mode == "auto":
+            if jax.default_backend() == "tpu" and self.n_grid <= self._FUSED_MAX_GRID:
+                return "split"
+            return None
+        if mode == "on":
+            return "block"
+        if mode == "split":
+            return "split"
+        return None
 
     def _cond(self, params: dict, sde_parameters: Array) -> Array:
         """3-layer SiLU MLP theta -> cond (ref ``encoder.py:34-40``)."""
@@ -197,9 +255,10 @@ class ObservationContextEncoder:
         # run the adaLN projection once per sample and broadcast over tokens.
         cond = self._cond(params, sde_parameters)
 
-        if self._use_fused():
+        fused_mode = self._fused_mode()
+        if fused_mode is not None:
             context = self._sit_fused(
-                params, h.astype(compute_dtype), cond.astype(compute_dtype)
+                params, h.astype(compute_dtype), cond.astype(compute_dtype), fused_mode
             )
         else:
             context = sit(

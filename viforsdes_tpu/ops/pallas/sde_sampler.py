@@ -247,6 +247,7 @@ def _bwd_kernel(
     diag_ref,
     # refs: outputs
     d_gc_ref,
+    d_eps_ref,
     d_x0_ref,
     d_w_x_ref,
     d_w_hh0_ref,
@@ -354,8 +355,14 @@ def _bwd_kernel(
         raw_tril = raw_ref[i][:, d:]
         eps = eps_ref[i]
         eps_c = _dot(eps, Cm.T)
-        dL_path = _dot(d_x_next, Rm.T) * eps_c * sqrt_dt
+        dx_r = _dot(d_x_next, Rm.T)
+        dL_path = dx_r * eps_c * sqrt_dt
         dL_total = d_cholv_ref[i] + dL_path
+        # noise cotangent: x_next depends on eps via (vals * (eps @ C^T)) @ R,
+        # so d_eps = ((d_x_next @ R^T) * vals) @ C * sqrt(dt), with vals the
+        # CLAMPED tril values (recomputed from the stashed raw row)
+        vals = jnp.where(diag > 0, jnp.maximum(raw_tril, spec.diag_min), raw_tril)
+        d_eps_ref[i] = _dot(dx_r * vals, Cm) * sqrt_dt
         # lower_bound rule on the summed cotangent (ref backward.py:324-334)
         pass_thr = (raw_tril >= spec.diag_min) | (dL_total < 0)
         d_tril = jnp.where(diag > 0, jnp.where(pass_thr, dL_total, 0.0), dL_total)
@@ -622,8 +629,8 @@ class FusedPathSampler:
         L1 = max(L - 1, 1)
         n_out = d + spec.n_tril
         # bwd streams per step: gates 3H, eps/x/d_paths/d_means 4d, h x2 2LH,
-        # raw n_out, d_cholv n_tril, d_gc out 3H
-        lanes = 6 * h + 4 * d + 2 * L * h + n_out + spec.n_tril
+        # raw n_out, d_cholv n_tril, d_gc out 3H, d_eps out d
+        lanes = 6 * h + 5 * d + 2 * L * h + n_out + spec.n_tril
         block_b = min(spec.block_b, _round_up(batch, 8))
         tc, block_b = _fit_chunk_and_block(n_steps, spec.max_t_chunk_bwd, block_b, lanes)
         n_chunks = n_steps // tc
@@ -670,6 +677,7 @@ class FusedPathSampler:
         ]
         out_shapes = [
             jax.ShapeDtypeStruct((n_steps, pad_b, 3 * h), jnp.float32),  # d_gates_const
+            jax.ShapeDtypeStruct((n_steps, pad_b, d), jnp.float32),      # d_noise
             jax.ShapeDtypeStruct((pad_b, d), jnp.float32),               # d_x0
             jax.ShapeDtypeStruct((d, 3 * h), jnp.float32),
             jax.ShapeDtypeStruct((h, 3 * h), jnp.float32),
@@ -683,6 +691,7 @@ class FusedPathSampler:
         ]
         out_specs = [
             rev(block_b, 3 * h, n_chunks),
+            rev(block_b, d, n_chunks),
             pl.BlockSpec((block_b, d), lambda b, c: (b, 0), memory_space=pltpu.VMEM),
             _const_spec((d, 3 * h)),
             _const_spec((h, 3 * h)),
@@ -712,6 +721,7 @@ class FusedPathSampler:
 
         (
             d_gc,
+            d_eps,
             d_x0_rec,
             d_w_x,
             d_w_hh0,
@@ -725,6 +735,7 @@ class FusedPathSampler:
         ) = results
 
         d_gc = jnp.swapaxes(d_gc, 0, 1)[:batch]
+        d_noise = jnp.swapaxes(d_eps, 0, 1)[:batch].astype(noise.dtype)
         d_x0 = d_x0_rec[:batch] + d_paths_full[:, 0].astype(jnp.float32)
 
         d_kernel_weights = (
@@ -741,5 +752,4 @@ class FusedPathSampler:
             jnp.zeros_like(kernel_weights[10]),  # C
             jnp.zeros_like(kernel_weights[11]),  # diag
         )
-        d_noise = jnp.zeros_like(noise)
         return (d_kernel_weights, d_x0, d_gc, d_noise)

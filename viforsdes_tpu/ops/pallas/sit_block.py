@@ -143,18 +143,36 @@ def _dot_tB(a, b):
     )
 
 
-def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
-    """Shared forward, fp32, 2-D. x/v0: [Bt*S, E]; cond: [Bt, 6E];
-    cos_t/sin_t: [Bt*S, Dh/2] (rope tables tiled per sample)."""
+def _mod(cond, y, bt, sp, part, *, one_plus):
+    """Per-sample adaLN modulation over a [bt*sp, E] stream.
+    cond[b, part] is the per-sample branch vector."""
+    pieces = []
+    for b in range(bt):
+        c = cond[b, part][None, :]
+        rows = y[b * sp : (b + 1) * sp]
+        pieces.append((1.0 + c) * rows if one_plus else c * rows)
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _affine_mod(cond, y, bt, sp, scale_part, shift_part):
+    """(1 + scale) * y + shift, per sample."""
+    pieces = []
+    for b in range(bt):
+        sc = cond[b, scale_part][None, :]
+        sh = cond[b, shift_part][None, :]
+        pieces.append((1.0 + sc) * y[b * sp : (b + 1) * sp] + sh)
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _attn_half_core(spec, bt, x, cond, v0, cos_t, sin_t, w):
+    """Attention half of a SiT block, fp32, 2-D. x/v0: [bt*S_pad, E];
+    cond: [bt, >=3, E] rows (s1|b1|g1...); cos_t/sin_t: [bt*S_pad, Dh/2].
+    Returns every intermediate the backward needs."""
     e = spec.embed_dim
     dh = spec.head_dim
     nh = spec.num_heads
     s = spec.seq_len
     sp = spec.s_pad
-    bt = spec.block_bt
-
-    def cond_vec(b, part):
-        return cond[b, part][None, :]
 
     def with_row_pad(pieces):
         """concat per-sample [s, X] pieces, zero-padding each to [sp, X]."""
@@ -167,13 +185,7 @@ def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
         return jnp.concatenate(out, axis=0)
 
     y1, rstd1 = _ln(x, spec.ln_eps)
-    a1 = jnp.concatenate(
-        [
-            (1.0 + cond_vec(b, 0)) * y1[b * sp : (b + 1) * sp] + cond_vec(b, 1)
-            for b in range(bt)
-        ],
-        axis=0,
-    )
+    a1 = _affine_mod(cond, y1, bt, sp, 0, 1)
 
     act = _MxuMode.dtype
     qkv = (_dot(a1, w["w_qkv"]) + w["b_qkv"]).astype(act)
@@ -221,37 +233,184 @@ def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
     gated_ctx = ctx * gate_full
 
     out1 = _dot(gated_ctx, w["w_o"]) + w["b_o"]
-    x2 = x + jnp.concatenate(
-        [cond_vec(b, 2) * out1[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
-    )
-
-    y2, rstd2 = _ln(x2, spec.ln_eps)
-    a2 = jnp.concatenate(
-        [
-            (1.0 + cond_vec(b, 3)) * y2[b * sp : (b + 1) * sp] + cond_vec(b, 4)
-            for b in range(bt)
-        ],
-        axis=0,
-    )
-    m_pre = (_dot(a2, w["w_m1"]) + w["b_m1"]).astype(act)
-    left, right = m_pre[:, : spec.mlp_hidden], m_pre[:, spec.mlp_hidden :]
-    sig_l = jax.nn.sigmoid(left.astype(jnp.float32)).astype(act)
-    silu_l = left * sig_l
-    mlp_mid = silu_l * right
-    mlp_out = _dot(mlp_mid, w["w_m2"]) + w["b_m2"]
-    x_out = x2 + jnp.concatenate(
-        [cond_vec(b, 5) * mlp_out[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
-    )
+    x2 = x + _mod(cond, out1, bt, sp, 2, one_plus=False)
 
     return dict(
         y1=y1, rstd1=rstd1, a1=a1, q=q, k=k, v=v,
         qr_list=qr_list, kr_list=kr_list, qrp=qrp, krp=krp,
         v_mixed=v_mixed, ctx=ctx, probs=probs,
         gate=gate, gate_full=gate_full, gated_ctx=gated_ctx, out1=out1, x2=x2,
+    )
+
+
+def _mlp_half_core(spec, bt, x2, cond, w, *, part0=3):
+    """MLP half of a SiT block, fp32, 2-D. x2: [bt*S_pad, E]; cond rows
+    (s2|b2|g2) start at index ``part0`` (3 in the full-block layout, 0 in the
+    split-kernel layout)."""
+    sp = spec.s_pad
+    act = _MxuMode.dtype
+
+    y2, rstd2 = _ln(x2, spec.ln_eps)
+    a2 = _affine_mod(cond, y2, bt, sp, part0, part0 + 1)
+    m_pre = (_dot(a2, w["w_m1"]) + w["b_m1"]).astype(act)
+    left, right = m_pre[:, : spec.mlp_hidden], m_pre[:, spec.mlp_hidden :]
+    sig_l = jax.nn.sigmoid(left.astype(jnp.float32)).astype(act)
+    silu_l = left * sig_l
+    mlp_mid = silu_l * right
+    mlp_out = _dot(mlp_mid, w["w_m2"]) + w["b_m2"]
+    x_out = x2 + _mod(cond, mlp_out, bt, sp, part0 + 2, one_plus=False)
+
+    return dict(
         y2=y2, rstd2=rstd2, a2=a2, left=left, right=right,
         sig_l=sig_l, silu_l=silu_l, mlp_mid=mlp_mid, mlp_out=mlp_out,
         x_out=x_out,
     )
+
+
+def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
+    """Shared full-block forward, fp32, 2-D. x/v0: [Bt*S, E]; cond: [Bt, 6, E];
+    cos_t/sin_t: [Bt*S, Dh/2] (rope tables tiled per sample)."""
+    bt = spec.block_bt
+    f = _attn_half_core(spec, bt, x, cond, v0, cos_t, sin_t, w)
+    f.update(_mlp_half_core(spec, bt, f["x2"], cond, w, part0=3))
+    return f
+
+
+# ------------------------------------------------------ backward halves
+
+
+def _per_sample_dot(dy, other, bt, sp):
+    """per-sample sum over rows of (dy * other) -> list of [1, E]."""
+    return [
+        jnp.sum(
+            dy[b * sp : (b + 1) * sp] * other[b * sp : (b + 1) * sp],
+            axis=0,
+            keepdims=True,
+        )
+        for b in range(bt)
+    ]
+
+
+def _per_sample_rowsum(dy, bt, sp):
+    return [jnp.sum(dy[b * sp : (b + 1) * sp], axis=0, keepdims=True) for b in range(bt)]
+
+
+def _with_row_pad(pieces, s, sp):
+    if sp == s:
+        return jnp.concatenate(pieces, axis=0)
+    out = []
+    for p in pieces:
+        out.append(p)
+        out.append(jnp.zeros((sp - s, p.shape[1]), p.dtype))
+    return jnp.concatenate(out, axis=0)
+
+
+def _mlp_half_bwd(spec, bt, f, cond, d_xout, w, *, part0=3):
+    """Backward of ``_mlp_half_core``. Returns (d_x2, (d_s2, d_b2, d_g2) as
+    per-sample [1, E] lists, weight-grad dict)."""
+    sp = spec.s_pad
+
+    d_g2 = _per_sample_dot(d_xout, f["mlp_out"], bt, sp)
+    d_mlp_out = _mod(cond, d_xout, bt, sp, part0 + 2, one_plus=False)
+    d_w_m2 = _dot_tA(f["mlp_mid"], d_mlp_out)
+    d_b_m2 = jnp.sum(d_mlp_out, axis=0, keepdims=True)
+    d_mid = _dot_tB(d_mlp_out, w["w_m2"])
+    d_silu = d_mid * f["right"]
+    d_right = d_mid * f["silu_l"]
+    d_left = d_silu * (f["sig_l"] * (1.0 + f["left"] * (1.0 - f["sig_l"])))
+    d_mpre = jnp.concatenate([d_left, d_right], axis=-1)
+    d_w_m1 = _dot_tA(f["a2"], d_mpre)
+    d_b_m1 = jnp.sum(d_mpre, axis=0, keepdims=True)
+    d_a2 = _dot_tB(d_mpre, w["w_m1"])
+    d_s2 = _per_sample_dot(d_a2, f["y2"], bt, sp)
+    d_b2 = _per_sample_rowsum(d_a2, bt, sp)
+    d_y2 = _mod(cond, d_a2, bt, sp, part0, one_plus=True)
+    d_x2 = d_xout + _ln_bwd(d_y2, f["y2"], f["rstd2"])
+
+    d_w = {"w_m1": d_w_m1, "b_m1": d_b_m1, "w_m2": d_w_m2, "b_m2": d_b_m2}
+    return d_x2, (d_s2, d_b2, d_g2), d_w
+
+
+def _attn_half_bwd(spec, bt, f, cond, x, v0, d_x2, d_vout, w, cos_t, sin_t):
+    """Backward of ``_attn_half_core``. Returns (d_x, (d_s1, d_b1, d_g1),
+    d_v0, weight-grad dict incl. lam)."""
+    e = spec.embed_dim
+    dh = spec.head_dim
+    nh = spec.num_heads
+    s = spec.seq_len
+    sp = spec.s_pad
+
+    d_g1 = _per_sample_dot(d_x2, f["out1"], bt, sp)
+    d_out1 = _mod(cond, d_x2, bt, sp, 2, one_plus=False)
+    d_w_o = _dot_tA(f["gated_ctx"], d_out1)
+    d_b_o = jnp.sum(d_out1, axis=0, keepdims=True)
+    d_gctx = _dot_tB(d_out1, w["w_o"])
+    d_ctx = d_gctx * f["gate_full"]
+    d_gate = sum(
+        d_gctx[:, h * dh : (h + 1) * dh] * f["ctx"][:, h * dh : (h + 1) * dh]
+        for h in range(nh)
+    )
+    d_gate_pre = d_gate * f["gate"] * (1.0 - f["gate"])
+    d_w_g = _dot_tA(f["a1"], d_gate_pre)
+    d_b_g = jnp.sum(d_gate_pre, axis=0, keepdims=True)
+    d_a1_from_gate = _dot_tB(d_gate_pre, w["w_g"])
+
+    scale = 1.0 / (dh**0.5)
+    d_q_rows, d_k_rows, d_vm_rows = [], [], []
+    for b in range(bt):
+        rows = slice(b * sp, b * sp + s)
+        dq_cols, dk_cols, dv_cols = [], [], []
+        for h in range(nh):
+            sl = slice(h * dh, (h + 1) * dh)
+            p = f["probs"][(b, h)]
+            do = d_ctx[rows, sl]
+            d_p = _dot_tB(do, f["v_mixed"][rows, sl])
+            dv_cols.append(_dot_tA(p, do))
+            d_logits = p * (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True))
+            dq_cols.append(_dot(d_logits, f["krp"][rows, sl]) * scale)
+            dk_cols.append(_dot_tA(d_logits, f["qrp"][rows, sl]) * scale)
+        d_q_rows.append(jnp.concatenate(dq_cols, axis=-1))
+        d_k_rows.append(jnp.concatenate(dk_cols, axis=-1))
+        d_vm_rows.append(jnp.concatenate(dv_cols, axis=-1))
+    d_qrp = _with_row_pad(d_q_rows, s, sp)
+    d_krp = _with_row_pad(d_k_rows, s, sp)
+    d_vm = _with_row_pad(d_vm_rows, s, sp) + d_vout
+
+    if spec.residual_v:
+        lam = w["lam"]
+        d_lam = jnp.sum(d_vm * (f["v"] - v0))
+        d_v = d_vm * lam
+        d_v0 = d_vm * (1.0 - lam)
+    else:
+        d_lam = jnp.zeros((), jnp.float32)
+        d_v = d_vm
+        d_v0 = jnp.zeros_like(d_vm)
+
+    d_q_cols2, d_k_cols2 = [], []
+    for h in range(nh):
+        sl = slice(h * dh, (h + 1) * dh)
+        d_qn = _rope_bwd(d_qrp[:, sl], cos_t, sin_t)
+        d_kn = _rope_bwd(d_krp[:, sl], cos_t, sin_t)
+        d_q_cols2.append(_rms_bwd(d_qn, f["q"][:, sl], f["qr_list"][h]))
+        d_k_cols2.append(_rms_bwd(d_kn, f["k"][:, sl], f["kr_list"][h]))
+    d_q = jnp.concatenate(d_q_cols2, axis=-1)
+    d_k = jnp.concatenate(d_k_cols2, axis=-1)
+
+    d_qkv = jnp.concatenate([d_q, d_k, d_v], axis=-1)
+    d_w_qkv = _dot_tA(f["a1"], d_qkv)
+    d_b_qkv = jnp.sum(d_qkv, axis=0, keepdims=True)
+    d_a1 = _dot_tB(d_qkv, w["w_qkv"]) + d_a1_from_gate
+
+    d_s1 = _per_sample_dot(d_a1, f["y1"], bt, sp)
+    d_b1 = _per_sample_rowsum(d_a1, bt, sp)
+    d_y1 = _mod(cond, d_a1, bt, sp, 0, one_plus=True)
+    d_x = d_x2 + _ln_bwd(d_y1, f["y1"], f["rstd1"])
+
+    d_w = {
+        "w_qkv": d_w_qkv, "b_qkv": d_b_qkv, "w_o": d_w_o, "b_o": d_b_o,
+        "w_g": d_w_g, "b_g": d_b_g, "lam": d_lam.reshape(1, 1),
+    }
+    return d_x, (d_s1, d_b1, d_g1), d_v0, d_w
 
 
 _WEIGHT_NAMES = ["w_qkv", "b_qkv", "w_o", "b_o", "w_g", "b_g", "w_m1", "b_m1", "w_m2", "b_m2", "lam"]
@@ -334,129 +493,12 @@ def _bwd_kernel(
     d_xout = d_xout_ref[:].astype(jnp.float32)
     d_vout = d_vout_ref[:].astype(jnp.float32)
 
-    def cond_vec(b, part):
-        return cond[b, part][None, :]
-
-    def per_sample_dot(dy, other):
-        """per-sample sum over rows of (dy * other) -> list of [1, E]."""
-        return [
-            jnp.sum(
-                dy[b * sp : (b + 1) * sp] * other[b * sp : (b + 1) * sp],
-                axis=0,
-                keepdims=True,
-            )
-            for b in range(bt)
-        ]
-
-    def mod_mul(dy, part):
-        return jnp.concatenate(
-            [cond_vec(b, part) * dy[b * sp : (b + 1) * sp] for b in range(bt)], axis=0
-        )
-
-    def mod_mul1p(dy, part):
-        return jnp.concatenate(
-            [(1.0 + cond_vec(b, part)) * dy[b * sp : (b + 1) * sp] for b in range(bt)],
-            axis=0,
-        )
-
-    def per_sample_rowsum(dy):
-        return [
-            jnp.sum(dy[b * sp : (b + 1) * sp], axis=0, keepdims=True) for b in range(bt)
-        ]
-
-    def with_row_pad(pieces):
-        if sp == s:
-            return jnp.concatenate(pieces, axis=0)
-        out = []
-        for p in pieces:
-            out.append(p)
-            out.append(jnp.zeros((sp - s, p.shape[1]), p.dtype))
-        return jnp.concatenate(out, axis=0)
-
-    # ---- MLP branch --------------------------------------------------------
-    d_g2 = per_sample_dot(d_xout, f["mlp_out"])
-    d_mlp_out = mod_mul(d_xout, 5)
-    d_w_m2 = _dot_tA(f["mlp_mid"], d_mlp_out)
-    d_b_m2 = jnp.sum(d_mlp_out, axis=0, keepdims=True)
-    d_mid = _dot_tB(d_mlp_out, w["w_m2"])
-    d_silu = d_mid * f["right"]
-    d_right = d_mid * f["silu_l"]
-    d_left = d_silu * (f["sig_l"] * (1.0 + f["left"] * (1.0 - f["sig_l"])))
-    d_mpre = jnp.concatenate([d_left, d_right], axis=-1)
-    d_w_m1 = _dot_tA(f["a2"], d_mpre)
-    d_b_m1 = jnp.sum(d_mpre, axis=0, keepdims=True)
-    d_a2 = _dot_tB(d_mpre, w["w_m1"])
-    d_s2 = per_sample_dot(d_a2, f["y2"])
-    d_b2 = per_sample_rowsum(d_a2)
-    d_y2 = mod_mul1p(d_a2, 3)
-    d_x2 = d_xout + _ln_bwd(d_y2, f["y2"], f["rstd2"])
-
-    # ---- attention branch --------------------------------------------------
-    d_g1 = per_sample_dot(d_x2, f["out1"])
-    d_out1 = mod_mul(d_x2, 2)
-    d_w_o = _dot_tA(f["gated_ctx"], d_out1)
-    d_b_o = jnp.sum(d_out1, axis=0, keepdims=True)
-    d_gctx = _dot_tB(d_out1, w["w_o"])
-    d_ctx = d_gctx * f["gate_full"]
-    d_gate = sum(
-        d_gctx[:, h * dh : (h + 1) * dh] * f["ctx"][:, h * dh : (h + 1) * dh]
-        for h in range(nh)
+    d_x2, (d_s2, d_b2, d_g2), d_w_mlp = _mlp_half_bwd(
+        spec, bt, f, cond, d_xout, w, part0=3
     )
-    d_gate_pre = d_gate * f["gate"] * (1.0 - f["gate"])
-    d_w_g = _dot_tA(f["a1"], d_gate_pre)
-    d_b_g = jnp.sum(d_gate_pre, axis=0, keepdims=True)
-    d_a1_from_gate = _dot_tB(d_gate_pre, w["w_g"])
-
-    scale = 1.0 / (dh**0.5)
-    d_q_rows, d_k_rows, d_vm_rows = [], [], []
-    for b in range(bt):
-        rows = slice(b * sp, b * sp + s)
-        dq_cols, dk_cols, dv_cols = [], [], []
-        for h in range(nh):
-            sl = slice(h * dh, (h + 1) * dh)
-            p = f["probs"][(b, h)]
-            do = d_ctx[rows, sl]
-            d_p = _dot_tB(do, f["v_mixed"][rows, sl])
-            dv_cols.append(_dot_tA(p, do))
-            d_logits = p * (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True))
-            dq_cols.append(_dot(d_logits, f["krp"][rows, sl]) * scale)
-            dk_cols.append(_dot_tA(d_logits, f["qrp"][rows, sl]) * scale)
-        d_q_rows.append(jnp.concatenate(dq_cols, axis=-1))
-        d_k_rows.append(jnp.concatenate(dk_cols, axis=-1))
-        d_vm_rows.append(jnp.concatenate(dv_cols, axis=-1))
-    d_qrp = with_row_pad(d_q_rows)
-    d_krp = with_row_pad(d_k_rows)
-    d_vm = with_row_pad(d_vm_rows) + d_vout
-
-    if spec.residual_v:
-        lam = w["lam"]
-        d_lam = jnp.sum(d_vm * (f["v"] - v0))
-        d_v = d_vm * lam
-        d_v0 = d_vm * (1.0 - lam)
-    else:
-        d_lam = jnp.zeros((), jnp.float32)
-        d_v = d_vm
-        d_v0 = jnp.zeros_like(d_vm)
-
-    d_q_cols2, d_k_cols2 = [], []
-    for h in range(nh):
-        sl = slice(h * dh, (h + 1) * dh)
-        d_qn = _rope_bwd(d_qrp[:, sl], cos_t, sin_t)
-        d_kn = _rope_bwd(d_krp[:, sl], cos_t, sin_t)
-        d_q_cols2.append(_rms_bwd(d_qn, f["q"][:, sl], f["qr_list"][h]))
-        d_k_cols2.append(_rms_bwd(d_kn, f["k"][:, sl], f["kr_list"][h]))
-    d_q = jnp.concatenate(d_q_cols2, axis=-1)
-    d_k = jnp.concatenate(d_k_cols2, axis=-1)
-
-    d_qkv = jnp.concatenate([d_q, d_k, d_v], axis=-1)
-    d_w_qkv = _dot_tA(f["a1"], d_qkv)
-    d_b_qkv = jnp.sum(d_qkv, axis=0, keepdims=True)
-    d_a1 = _dot_tB(d_qkv, w["w_qkv"]) + d_a1_from_gate
-
-    d_s1 = per_sample_dot(d_a1, f["y1"])
-    d_b1 = per_sample_rowsum(d_a1)
-    d_y1 = mod_mul1p(d_a1, 0)
-    d_x = d_x2 + _ln_bwd(d_y1, f["y1"], f["rstd1"])
+    d_x, (d_s1, d_b1, d_g1), d_v0, d_w_attn = _attn_half_bwd(
+        spec, bt, f, cond, x, v0, d_x2, d_vout, w, cos_t, sin_t
+    )
 
     # ---- write outputs ------------------------------------------------------
     d_x_ref[:] = d_x.astype(d_x_ref.dtype)
@@ -466,12 +508,9 @@ def _bwd_kernel(
         ).astype(d_cond_ref.dtype)
     d_v0_ref[:] = d_v0.astype(d_v0_ref.dtype)
 
-    d_w_vals = [
-        d_w_qkv, d_b_qkv, d_w_o, d_b_o, d_w_g, d_b_g, d_w_m1, d_b_m1, d_w_m2, d_b_m2,
-        d_lam.reshape(1, 1),
-    ]
-    for r, val in zip(d_w_refs, d_w_vals):
-        r[:] += val
+    d_w_all = {**d_w_attn, **d_w_mlp}
+    for r, name in zip(d_w_refs, _WEIGHT_NAMES):
+        r[:] += d_w_all[name]
 
 
 # ====================================================== pallas_call setup ==

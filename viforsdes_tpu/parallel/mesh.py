@@ -2,15 +2,19 @@
 
 TPU-native replacement for the reference's DDP/NCCL machinery
 (``training_context.py:59-68,89-91``; ``trainer.py:128-131``; SURVEY §5.8):
-a 1-D ``jax.sharding.Mesh`` over the ``"data"`` axis, ``shard_map``-ped update
-with an explicit ``lax.pmean`` of gradients and metrics (correct by
-construction — the reference's DDP wrapper was bypassed, SURVEY §2.3), and
-per-replica RNG via ``jax.random.fold_in`` of the axis index (deterministic
-"independent noise per replica").
+a 1-D ``jax.sharding.Mesh`` over the ``"data"`` axis. The trainer keeps params
+replicated and constrains the per-step Monte-Carlo batch (theta, x0, noise) to
+the data axis with ``NamedSharding`` constraints inside one ``jit``-ted train
+step (``inference/trainer.py``); XLA's SPMD partitioner then inserts the
+gradient all-reduce over ICI automatically. Gradient sync is therefore correct
+by construction — the reference's DDP wrapper was bypassed and never synced
+grads (SURVEY §2.3). Equivalence of the sharded step with the single-device
+step is tested on an 8-virtual-device CPU mesh (``tests/test_parallel.py``).
 
 Semantics note: the reference treats ``batch_size`` as per-rank (effective
 batch = B * world). Here ``batch_size`` is the GLOBAL batch, sharded over the
-mesh — the standard JAX convention; scale B accordingly.
+mesh — the standard JAX convention; scale B accordingly (``local_batch_size``
+converts global -> per-device for capacity planning).
 """
 
 from __future__ import annotations

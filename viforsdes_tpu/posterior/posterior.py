@@ -96,6 +96,13 @@ class VariationalPosterior:
         self.state_space = state_space
         self.evidence_lower_bound_history = evidence_lower_bound_history
         if x0 is None:
+            # x0 = first observation only covers full observation (the trainer
+            # applies the same guard, trainer.py x0 resolution).
+            if observations.values.shape[-1] != model.head.state_dim:
+                raise ValueError(
+                    "obs_dim != state_dim: pass an explicit x0 (the reference's "
+                    "x0 = values[0] convention only covers full observation)"
+                )
             x0 = observations.values[0]
         self._x0_single = jnp.asarray(x0, dtype=jnp.float32)
         self._key = jax.random.key(seed ^ 0x5DE5)
@@ -187,6 +194,9 @@ class VariationalPosterior:
                 "evidence_lower_bound_history": [
                     float(v) for v in self.evidence_lower_bound_history
                 ],
+                # persisted so a reloaded partial-observation posterior does not
+                # silently fall back to x0 = observations.values[0]
+                "x0": np.asarray(self._x0_single).tolist(),
             },
         )
 
@@ -204,10 +214,19 @@ class VariationalPosterior:
             init_key if init_key is not None else jax.random.key(0)
         )
         trees, meta = load_checkpoint(
-            path, templates={"model_state": template, "ema_state": template}
+            path,
+            templates={"model_state": template, "ema_state": template},
+            required_metadata=(
+                "time_horizon",
+                "time_step",
+                "state_positive_dims",
+                "evidence_lower_bound_history",
+            ),
+            kind="VariationalPosterior",
         )
         state_dim = model.head.state_dim
         state_space = StateSpace(state_dim, meta["state_positive_dims"])
+        x0 = meta.get("x0")
         return cls(
             model=model,
             params=trees["model_state"],
@@ -218,4 +237,5 @@ class VariationalPosterior:
             time_step=meta["time_step"],
             state_space=state_space,
             evidence_lower_bound_history=meta["evidence_lower_bound_history"],
+            x0=None if x0 is None else jnp.asarray(x0, dtype=jnp.float32),
         )

@@ -69,14 +69,30 @@ def save_checkpoint(path: str | Path, trees: dict[str, Any], metadata: dict) -> 
 
 
 def load_checkpoint(
-    path: str | Path, templates: dict[str, Any]
+    path: str | Path,
+    templates: dict[str, Any],
+    *,
+    required_metadata: tuple[str, ...] = (),
+    kind: str = "viforsdes",
 ) -> tuple[dict[str, Any], dict]:
-    """Load named pytrees (validated against templates) + metadata."""
+    """Load named pytrees (validated against templates) + metadata.
+
+    ``required_metadata`` is the metadata schema: missing keys raise a clear
+    "not a <kind> checkpoint" error instead of a downstream KeyError (the
+    analog of the reference's pydantic checkpoint validation,
+    ``variational_posterior.py:57-65``).
+    """
     with np.load(Path(path)) as archive:
         flat = {k: archive[k] for k in archive.files}
     if _META_KEY not in flat:
         raise ValueError("not a viforsdes checkpoint: missing metadata blob")
     metadata = json.loads(bytes(flat.pop(_META_KEY)).decode("utf-8"))
+    missing = [k for k in required_metadata if k not in metadata]
+    if missing:
+        raise ValueError(
+            f"not a {kind} checkpoint (or an incompatible version): "
+            f"metadata is missing keys {missing}; found {sorted(metadata)}"
+        )
     trees = {
         name: unflatten_like(template, flat, prefix=name + _SEP)
         for name, template in templates.items()
