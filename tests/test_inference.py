@@ -231,6 +231,91 @@ class TestTrainer:
             np.asarray(trainer.params["theta"]["mean"]), np.asarray(mu)
         )
 
+    def test_pretrain_gradient_method_runs(self):
+        trainer = _make_trainer(n_iterations=1)
+        mu = trainer.pretrain_sde_parameters(
+            PretrainConfig(n_iterations=10, batch_size=64, method="gradient")
+        )
+        assert bool(jnp.all(jnp.isfinite(mu)))
+
+    def test_pretrain_global_requires_full_observation(self):
+        sde2 = make_sde(
+            drift=lambda x, p: -x,
+            diffusion=lambda x, p: jnp.broadcast_to(jnp.eye(2), x.shape + (2,)),
+            state_dim=2,
+            sde_param_dim=1,
+        )
+        obs = Observations(times=[0.0, 1.0], values=[[1.0], [0.5]])
+        trainer = VariationalInferenceTrainer(
+            sde=sde2,
+            observations=obs,
+            observation_likelihood=GaussianObservationLikelihood(
+                variance=0.1, obs_matrix=[[1.0, 0.0]]
+            ),
+            prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=1),
+            time_horizon=1.0,
+            config=TrainingConfig(time_step=0.25, batch_size=4, n_iterations=1),
+            encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=HeadConfig(hidden_dim=8, num_layers=2),
+            state_positive_dims=[],
+            sde_param_positive_dims=[],
+            console=Console(enabled=False),
+            x0=jnp.asarray([1.0, 0.0]),
+        )
+        with pytest.raises(ValueError, match="full-state"):
+            trainer.pretrain_sde_parameters(
+                PretrainConfig(n_iterations=2, batch_size=4, method="global")
+            )
+        # auto falls back to the gradient/full-rollout objective silently
+        mu = trainer.pretrain_sde_parameters(
+            PretrainConfig(n_iterations=2, batch_size=4)
+        )
+        assert bool(jnp.all(jnp.isfinite(mu)))
+
+    def test_pretrain_global_recovers_drift_parameters(self):
+        """Global (sweep+CEM) pretrain identifies OU drift params from dense obs.
+
+        dx = kappa (m - x) dt + sigma dW with true (kappa, m) = (2, 1): dense
+        full-state observations give segment endpoints whose conditional mean
+        is governed by the drift, so pretrain's mu should land near truth.
+        """
+        true_kappa, true_m, true_sigma = 2.0, 1.0, 0.1
+        sde = _ou_sde()
+        from viforsdes_tpu.core.solvers import euler_maruyama
+
+        dt = 0.05
+        horizon = 4.0
+        x0 = jnp.asarray([[3.0]])
+        theta = jnp.asarray([[true_kappa, true_m, true_sigma]])
+        traj = euler_maruyama(sde, x0, theta, horizon, dt, key=jax.random.key(3))
+        stride = 2  # observe every 0.1
+        idx = np.arange(0, traj.shape[1], stride)
+        obs = Observations(
+            times=(idx * dt).tolist(), values=np.asarray(traj[0, idx])
+        )
+        trainer = VariationalInferenceTrainer(
+            sde=sde,
+            observations=obs,
+            observation_likelihood=GaussianObservationLikelihood(variance=0.01),
+            prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+            time_horizon=horizon,
+            config=TrainingConfig(time_step=dt, batch_size=8, n_iterations=1),
+            encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=HeadConfig(hidden_dim=8, num_layers=2),
+            state_positive_dims=[],
+            sde_param_positive_dims=[0, 2],
+            console=Console(enabled=False),
+        )
+        mu = np.asarray(
+            trainer.pretrain_sde_parameters(
+                PretrainConfig(batch_size=512, sweep_candidates=4096, cem_rounds=10)
+            )
+        )
+        kappa_hat = float(np.exp(mu[0]))
+        m_hat = float(mu[1])
+        assert abs(kappa_hat - true_kappa) < 0.5, kappa_hat
+        assert abs(m_hat - true_m) < 0.25, m_hat
+
     def test_partial_observation_requires_x0(self):
         sde2 = make_sde(
             drift=lambda x, p: -x,

@@ -72,10 +72,11 @@ class EncoderConfig(YamlConfig):
     depth: int = 4
     mlp_ratio: float = 8 / 3
     # Fused Pallas SiT-block kernels:
-    #   "auto"  = split kernels on TPU, XLA elsewhere (the measured-fastest
-    #             default — see BASELINE.md round 2);
+    #   "auto"  = currently the XLA path everywhere: interleaved measurement
+    #             (profile_encoder.py, v5e-1) has both kernel families slower
+    #             than XLA (split 13.4 ms vs XLA 9.1 ms fwd+bwd);
     #   "split" = attention-half + MLP-half kernels (force);
-    #   "on"    = legacy whole-block kernel (XLA-parity speed, kept tested);
+    #   "on"    = whole-block kernel (force);
     #   "off"   = pure XLA path.
     fused_blocks: str = "auto"
 
@@ -138,6 +139,46 @@ class PretrainConfig(YamlConfig):
     batch_size: int = 4096
     learning_rate: float = 0.02
     init_scale: float = 2.0
+    # Pretraining method:
+    #   "global"   = prior-box quasi-random sweep + cross-entropy refinement
+    #                of a teacher-forced segment objective (simulation restarts
+    #                from every observed state; deterministic rollouts).
+    #                Requires full-state observations. Finds narrow basins the
+    #                reference's gradient pretrain cannot: chaotic systems'
+    #                full-rollout MSE rewards degenerate stable dynamics
+    #                (Lorenz-63 collapses to sigma_L~0.1), while the segment
+    #                objective is globally minimized at the true parameters —
+    #                but inside a basin too small for gradient descent, hence
+    #                the population search (batch_size candidates per round).
+    #   "gradient" = the reference objective (ref trainer.py:208-259): Adam on
+    #                full-horizon stochastic rollout MSE at observation times.
+    #   "auto"     = global when the full state is observed, gradient otherwise.
+    method: str = "auto"
+    # Global-method budget: phase-A sweep candidates and CEM rounds/elites.
+    sweep_candidates: int = 262144
+    cem_rounds: int = 15
+    elite_fraction: float = 0.1
+
+    @field_validator("method")
+    @classmethod
+    def validate_method(cls, v: str) -> str:
+        if v not in ("auto", "global", "gradient"):
+            raise ValueError("method must be 'auto', 'global' or 'gradient'")
+        return v
+
+    @field_validator("sweep_candidates", "cem_rounds")
+    @classmethod
+    def validate_positive_budget(cls, v: int) -> int:
+        if v <= 0:
+            raise ValueError("value must be positive")
+        return v
+
+    @field_validator("elite_fraction")
+    @classmethod
+    def validate_elite_fraction(cls, v: float) -> float:
+        if not 0 < v <= 1:
+            raise ValueError("elite_fraction must be in (0, 1]")
+        return v
 
     @field_validator("n_iterations", "batch_size")
     @classmethod

@@ -210,15 +210,15 @@ class ObservationContextEncoder:
     def _fused_mode(self) -> str | None:
         """Resolve fused_blocks config to a kernel family (or None for XLA).
 
-        "auto" resolves to the split kernels on TPU for grids that fit VMEM
-        (measured faster than the XLA path on the OU headline config — see
-        BASELINE.md round 2); the whole-block kernel ("on") is kept at parity
-        as a tested alternative.
+        "auto" resolves to the XLA path: interleaved same-process measurement
+        (benchmarks/profile_encoder.py, v5e-1, OU headline shape) has the
+        split kernels at 13.4 ms fwd+bwd vs XLA's 9.1 ms — neither fused
+        family currently pays for itself. Both stay available explicitly
+        ("on" = whole-block, "split") and gradient-parity tested; flip "auto"
+        only when a kernel wins an interleaved measurement.
         """
         mode = getattr(self.config, "fused_blocks", "off")
         if mode == "auto":
-            if jax.default_backend() == "tpu" and self.n_grid <= self._FUSED_MAX_GRID:
-                return "split"
             return None
         if mode == "on":
             return "block"

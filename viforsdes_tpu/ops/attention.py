@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from viforsdes_tpu.ops.embeddings import RotaryTables, apply_rope_1d
+from viforsdes_tpu.ops.flash_attention import flash_sdpa, use_flash_attention
 from viforsdes_tpu.ops.initializers import (
     InitPolicy,
     DEFAULT_INIT_POLICY,
@@ -111,8 +112,14 @@ def attention(
 
     v_out = v
 
-    # Non-causal SDPA; fp32 logits/softmax, output in input dtype.
-    attn_output = jax.nn.dot_product_attention(q, k, v)
+    # Non-causal SDPA; fp32 logits/softmax, output in input dtype. Long grids
+    # dispatch to the blockwise Mosaic kernel: the dense path materializes
+    # [B, H, S, S] probabilities in HBM, which dominates the step at S ~ 2000
+    # (ops/flash_attention.py). The choice is static (S is a trace constant).
+    if use_flash_attention(s):
+        attn_output = flash_sdpa(q, k, v)
+    else:
+        attn_output = jax.nn.dot_product_attention(q, k, v)
 
     if cfg.gate:
         gate_scores = jax.nn.sigmoid(linear(params["gate_proj"], hidden_states))

@@ -1,0 +1,136 @@
+"""Blockwise (flash) attention for long grids.
+
+Motivation (SURVEY §5.7, VERDICT round-1 item 5): the encoder's non-causal
+SDPA materializes ``[B, H, S, S]`` attention probabilities. At the Lorenz-63
+ladder shape (B=32, H=4, S=2001) that is ~1 GB *per block per pass* of HBM
+traffic — the step is bandwidth-bound on probabilities alone. A blockwise
+kernel keeps the online-softmax state in VMEM and never writes the S² matrix,
+making attention O(S) in memory.
+
+The kernel itself is ``jax.experimental.pallas.ops.tpu.flash_attention`` —
+JAX's own Mosaic flash kernel (fwd + custom-VJP bwd, segment-id masking).
+This module owns the framework-facing contract:
+
+- layout: our attention keeps ``[B, S, H, D]`` end-to-end; the kernel wants
+  ``[B, H, S, D]``;
+- padding: the grid length is ``round(T/dt)+1`` (odd, e.g. 2001); the kernel
+  requires S divisible by its 512-wide blocks. We pad to the next multiple
+  and mask the pad tokens with segment ids (pad queries attend only to pad
+  keys, and are sliced off afterwards);
+- scale: ``1/sqrt(head_dim)`` to match ``jax.nn.dot_product_attention``.
+
+The pure pad/mask/unpad plumbing is CPU-testable by injecting a dense masked
+reference impl (``_reference_masked_attention``); the real kernel is covered
+by TPU-gated parity tests and the Lorenz ladder run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# The Mosaic flash kernel tiles S into 512-wide major blocks; pad to this.
+_FLASH_BLOCK = 512
+
+# Below this grid length the dense XLA path is faster (probs fit comfortably
+# and the kernel's fixed overhead + padding waste dominate); above it, probs
+# spill to HBM and blockwise wins. 512 also matches the fused split-kernel
+# ceiling (encoder._FUSED_MAX_GRID), so exactly one of the three attention
+# paths is selected for any grid.
+FLASH_SEQ_THRESHOLD = 512
+
+
+def use_flash_attention(seq_len: int) -> bool:
+    """Static dispatch: real Mosaic kernel only on TPU, only for long grids.
+
+    Currently OPT-IN via ``VIFORSDES_FLASH=1``: the library kernel's forward
+    wins, but its backward measured 2.5x slower than dense XLA at the Lorenz
+    shape (profile_longgrid.py, v5e-1), so the training default stays dense
+    until a faster backward lands. ``VIFORSDES_DISABLE_FLASH=1`` force-disables
+    (benchmark A/B knob).
+    """
+    import os
+
+    if os.environ.get("VIFORSDES_DISABLE_FLASH"):
+        return False
+    if not os.environ.get("VIFORSDES_FLASH"):
+        return False
+    return seq_len > FLASH_SEQ_THRESHOLD and jax.default_backend() == "tpu"
+
+
+def _reference_masked_attention(q, k, v, segment_ids, sm_scale):
+    """Dense masked SDPA with the kernel's signature, for CPU tests.
+
+    q/k/v are ``[B, H, S, D]``; segment_ids masks cross-segment attention
+    exactly like the Mosaic kernel does.
+    """
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    if segment_ids is not None:
+        mask = segment_ids.q[:, None, :, None] == segment_ids.kv[:, None, None, :]
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel():
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa
+
+
+def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
+    """Non-causal flash attention over ``[B, S, H, D]`` tensors.
+
+    Pads the sequence axis to a multiple of the kernel block, masks the pad
+    via segment ids, and slices the pad back off. ``impl`` injects a dense
+    reference implementation for CPU tests; ``None`` selects the Mosaic
+    kernel.
+    """
+    b, s, h, d = q.shape
+    sm_scale = 1.0 / (d**0.5)
+
+    # [B, S, H, D] -> [B, H, S, D]
+    qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+
+    pad = (-s) % _FLASH_BLOCK
+    segment_ids = None
+    if pad:
+        qh, kh, vh = (
+            jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0))) for t in (qh, kh, vh)
+        )
+        # Real tokens are segment 0, pad tokens segment 1: pad queries attend
+        # only to pad keys (their rows are discarded below), real queries
+        # never see pad keys.
+        seg = jnp.zeros((b, s + pad), dtype=jnp.int32).at[:, s:].set(1)
+        fa = _kernel()
+        segment_ids = fa.SegmentIds(q=seg, kv=seg)
+
+    if impl is None:
+        fa = _kernel()
+        # Tuned block sizes: the library defaults measured 56.6 ms fwd+bwd at
+        # (32, 4, 2048, 64) on v5e-1 vs 13.1 ms with 1024-wide blocks
+        # (benchmarks/profile_flash_sweep.py); 2048-wide fails to compile
+        # (VMEM). Scale down for shorter padded grids.
+        blk = min(1024, qh.shape[2])
+        bs = fa.BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+            block_q_dq=blk,
+        )
+        out = fa.flash_attention(
+            qh, kh, vh, segment_ids=segment_ids, sm_scale=sm_scale, block_sizes=bs
+        )
+    else:
+        out = impl(qh, kh, vh, segment_ids, sm_scale)
+
+    if pad:
+        out = out[:, :, :s, :]
+    return jnp.swapaxes(out, 1, 2)
