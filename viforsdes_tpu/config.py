@@ -71,10 +71,12 @@ class EncoderConfig(YamlConfig):
     num_heads: int = 4
     depth: int = 4
     mlp_ratio: float = 8 / 3
-    # Fused Pallas SiT-block kernels:
+    # Fused Pallas SiT kernels:
     #   "auto"  = currently the XLA path everywhere: interleaved measurement
-    #             (profile_encoder.py, v5e-1) has both kernel families slower
-    #             than XLA (split 13.4 ms vs XLA 9.1 ms fwd+bwd);
+    #             (profile_encoder.py, v5e-1) has the per-block kernel
+    #             families slower than XLA (split 13.4 ms vs XLA 9.1 ms
+    #             fwd+bwd); flipped to a kernel family only when one wins;
+    #   "stack" = whole-stack kernel (all blocks in one Pallas call, force);
     #   "split" = attention-half + MLP-half kernels (force);
     #   "on"    = whole-block kernel (force);
     #   "off"   = pure XLA path.
@@ -97,8 +99,10 @@ class EncoderConfig(YamlConfig):
     @field_validator("fused_blocks")
     @classmethod
     def validate_fused(cls, v: str) -> str:
-        if v not in ("auto", "on", "off", "split"):
-            raise ValueError("fused_blocks must be 'auto', 'on', 'off' or 'split'")
+        if v not in ("auto", "on", "off", "split", "stack"):
+            raise ValueError(
+                "fused_blocks must be 'auto', 'on', 'off', 'split' or 'stack'"
+            )
         return v
 
     @model_validator(mode="after")

@@ -121,7 +121,36 @@ class ObservationContextEncoder:
             # interpret mode (CPU) has no MXU: use exact fp32 so the fused
             # path matches the XLA path bit-for-bit
             mxu = "fp32" if interpret else "bf16"
-            if mode == "split":
+            if mode == "stack":
+                from viforsdes_tpu.ops.pallas.sit_stack import (
+                    FusedSiTStack,
+                    SiTStackSpec,
+                )
+
+                # Batch tiles scale down with grid length (the per-tile token
+                # rows and attention probs must stay within VMEM alongside the
+                # resident stacked weights).
+                sp = ((self.n_grid + 7) // 8) * 8
+                bt_fwd = max(1, 832 // sp)
+                bt_bwd = max(1, 416 // sp)
+                self._fused_blocks = [
+                    FusedSiTStack(
+                        SiTStackSpec(
+                            seq_len=self.n_grid,
+                            embed_dim=cfg.hidden_dim,
+                            num_heads=cfg.num_heads,
+                            mlp_hidden=self.sit_config.mlp_hidden_dim,
+                            depth=cfg.depth,
+                            bt_fwd=bt_fwd,
+                            bt_bwd=bt_bwd,
+                            mxu_dtype=mxu,
+                            interpret=interpret,
+                        ),
+                        self.rotary.cos,
+                        self.rotary.sin,
+                    )
+                ]
+            elif mode == "split":
                 from viforsdes_tpu.ops.pallas.sit_split import (
                     FusedSplitSiTBlock,
                     SplitBlockSpec,
@@ -184,14 +213,27 @@ class ObservationContextEncoder:
         Per block, the adaLN-Zero projection (one [B,C]@[C,6E] matmul whose
         output is exactly the (s1|b1|g1|s2|b2|g2) layout the kernel wants)
         stays in XLA; everything else runs inside the kernel(s)."""
+        sit_p = params["sit"]
+        blocks = self._get_fused_blocks(mode)
+        tokens = linear(sit_p["input_proj"], h)
+
+        if mode == "stack":
+            from viforsdes_tpu.ops.pallas.sit_stack import pack_stack_weights
+
+            silu_cond = jax.nn.silu(cond)
+            cond_all = jnp.concatenate(
+                [linear(bp["cond"]["net"], silu_cond) for bp in sit_p["blocks"]],
+                axis=-1,
+            )
+            kw = pack_stack_weights(blocks[0].spec, sit_p["blocks"])
+            tokens = blocks[0](kw, tokens, cond_all)
+            return linear(sit_p["output_proj"], tokens)
+
         if mode == "split":
             from viforsdes_tpu.ops.pallas.sit_split import pack_split_weights as pack
         else:
             from viforsdes_tpu.ops.pallas.sit_block import pack_block_weights as pack
 
-        sit_p = params["sit"]
-        blocks = self._get_fused_blocks(mode)
-        tokens = linear(sit_p["input_proj"], h)
         v0 = jnp.zeros_like(tokens)
         for idx, bp in enumerate(sit_p["blocks"]):
             cond_vec = linear(bp["cond"]["net"], jax.nn.silu(cond))
@@ -222,8 +264,8 @@ class ObservationContextEncoder:
             return None
         if mode == "on":
             return "block"
-        if mode == "split":
-            return "split"
+        if mode in ("split", "stack"):
+            return mode
         return None
 
     def _cond(self, params: dict, sde_parameters: Array) -> Array:

@@ -47,17 +47,14 @@ FLASH_SEQ_THRESHOLD = 512
 def use_flash_attention(seq_len: int) -> bool:
     """Static dispatch: real Mosaic kernel only on TPU, only for long grids.
 
-    Currently OPT-IN via ``VIFORSDES_FLASH=1``: the library kernel's forward
-    wins, but its backward measured 2.5x slower than dense XLA at the Lorenz
-    shape (profile_longgrid.py, v5e-1), so the training default stays dense
-    until a faster backward lands. ``VIFORSDES_DISABLE_FLASH=1`` force-disables
+    Default ON for long grids: with tuned block sizes the full Lorenz train
+    step measured 237 ms flash vs 304 ms dense, interleaved same-process
+    (profile_longgrid.py, v5e-1). ``VIFORSDES_DISABLE_FLASH=1`` force-disables
     (benchmark A/B knob).
     """
     import os
 
     if os.environ.get("VIFORSDES_DISABLE_FLASH"):
-        return False
-    if not os.environ.get("VIFORSDES_FLASH"):
         return False
     return seq_len > FLASH_SEQ_THRESHOLD and jax.default_backend() == "tpu"
 

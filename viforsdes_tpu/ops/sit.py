@@ -134,6 +134,12 @@ def sit_init(key: Array, cfg: SiTConfig, *, policy: InitPolicy = DEFAULT_INIT_PO
 # stores O(S^2) probabilities per block, which at S ~ 2000 exceeds HBM
 # (8 blocks x [B, H, S, S] fp32). Remat trades one extra block forward for
 # holding at most ONE block's attention residuals at a time.
+#
+# When flash attention handles the long grid, remat is skipped: the blockwise
+# backward already recomputes attention internally and never materializes the
+# probabilities, and the remaining per-block activations are O(S) (fit HBM),
+# so whole-block remat would only re-run QKV/MLP forwards for nothing
+# (measured part of the dense path's 293 ms vs flash 227 ms encoder fwd+bwd).
 REMAT_SEQ_THRESHOLD = 512
 
 
@@ -148,7 +154,11 @@ def sit(
 ) -> Array:
     """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``)."""
     if remat is None:
-        remat = x.shape[1] > REMAT_SEQ_THRESHOLD
+        from viforsdes_tpu.ops.flash_attention import use_flash_attention
+
+        remat = x.shape[1] > REMAT_SEQ_THRESHOLD and not use_flash_attention(
+            x.shape[1]
+        )
     tokens = linear(params["input_proj"], x)
     cached_v: Array | None = None
     for idx, block_params in enumerate(params["blocks"]):
