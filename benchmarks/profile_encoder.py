@@ -48,6 +48,7 @@ def main() -> None:
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--full-step", action="store_true", help="also time the full train step")
+    ap.add_argument("--sampler", action="store_true", help="also time the head sampler")
     args = ap.parse_args()
     modes = args.modes.split(",")
 
@@ -100,6 +101,47 @@ def main() -> None:
     for key, times in results.items():
         med = statistics.median(times)
         print(f"{key[0]:>6s} {key[1]:>7s}: {med:7.3f} ms   windows={[f'{t:.2f}' for t in times]}")
+
+    if args.sampler:
+        # head sampler fwd+bwd at the headline shape, to bound the
+        # non-encoder remainder of the step (ELBO + optimizer + EMA)
+        from viforsdes_tpu.config import HeadConfig
+        from viforsdes_tpu.models.head import DiffusionTransitionHead
+
+        head = DiffusionTransitionHead(
+            state_dim=1, context_dim=256, sde_param_dim=3,
+            config=HeadConfig(hidden_dim=64, num_layers=2),
+        )
+        hp = head.init(jax.random.key(2))
+        ctx = jax.random.normal(jax.random.key(3), (B, 100, 256))
+        th = jax.random.normal(jax.random.key(4), (B, 3))
+        eps = jax.random.normal(jax.random.key(5), (B, 100, 1))
+        x0 = jnp.zeros((B, 1))
+
+        def head_loss(hp, ctx, th, eps):
+            paths, means, chol = head.sample_diffusion_paths(hp, x0, ctx, th, eps, 0.05)
+            return paths.sum() + means.sum() + chol.sum()
+
+        sfns = {
+            "fwd": jax.jit(head_loss),
+            "fwdbwd": jax.jit(jax.grad(head_loss, argnums=(0, 1))),
+        }
+        for kind, fn in sfns.items():
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(hp, ctx, th, eps))
+            print(f"compile sampler/{kind}: {time.perf_counter() - t0:.1f}s", flush=True)
+        res = {k: [] for k in sfns}
+        for w in range(args.windows):
+            for kind, fn in sfns.items():
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(args.iters):
+                    out = fn(hp, ctx, th, eps)
+                jax.block_until_ready(out)
+                res[kind].append((time.perf_counter() - t0) / args.iters * 1000)
+        print("\n== head sampler timings (ms, median) ==")
+        for kind, ts in res.items():
+            print(f"sampler {kind:>7s}: {statistics.median(ts):7.3f} ms")
 
     if args.full_step:
         from viforsdes_tpu.inference.trainer import VariationalInferenceTrainer

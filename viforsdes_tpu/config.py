@@ -159,7 +159,7 @@ class PretrainConfig(YamlConfig):
     #   "auto"     = global when the full state is observed, gradient otherwise.
     method: str = "auto"
     # Global-method budget: phase-A sweep candidates and CEM rounds/elites.
-    sweep_candidates: int = 262144
+    sweep_candidates: int = 524288
     cem_rounds: int = 15
     elite_fraction: float = 0.1
 

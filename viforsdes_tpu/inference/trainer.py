@@ -499,11 +499,14 @@ class VariationalInferenceTrainer:
             return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
 
         # Prior-informed unconstrained search box (3 prior std; positive dims
-        # searched in log space, spanning down to ~3 decades below the box top
-        # when the prior is on the raw scale).
+        # searched in log space). Positive dims get 3 extra nats of DOWNWARD
+        # range: small rate constants routinely sit in the prior's lower tail
+        # (Lotka-Volterra's theta2=0.0025 is 4 sigma below its LogNormal(0,1.5)
+        # prior mean — inside a 3-sigma box the sweep can never reach it, and
+        # with the extension the sweep+CEM lands on the Ryder et al. values).
         m, s = self.prior.mean, self.prior.std
         if self.prior.type.name == "LOG_NORMAL":
-            lo_pos, hi_pos = m - 3.0 * s, m + 3.0 * s
+            lo_pos, hi_pos = m - 3.0 * s - 3.0, m + 3.0 * s
         else:
             hi_pos = float(np.log(max(m + 3.0 * s, 1e-2)))
             lo_pos = hi_pos - 7.0

@@ -173,6 +173,9 @@ def _bwd_kernel(spec: SiTStackSpec, xs_ref, v0_ref, cond_ref, cos_ref, sin_ref, 
 
     d = d_xout_ref[:].astype(jnp.float32)
     d_v0_acc = jnp.zeros_like(d)
+    # per-sample adaLN-branch grads, collected across blocks and written once
+    # per sample at the end (single [depth*6, E] store per sample)
+    d_cond_rows: list[list] = [[None] * spec.depth for _ in range(bt)]
 
     for blk in reversed(range(spec.depth)):
         x_in = xs_ref[blk].astype(jnp.float32)
@@ -202,26 +205,34 @@ def _bwd_kernel(spec: SiTStackSpec, xs_ref, v0_ref, cond_ref, cos_ref, sin_ref, 
             )
 
         for b in range(bt):
-            d_cond_ref[b, blk * 6 : (blk + 1) * 6] = jnp.concatenate(
+            d_cond_rows[b][blk] = jnp.concatenate(
                 [d_s1[b], d_b1[b], d_g1[b], d_s2[b], d_b2[b], d_g2[b]], axis=0
-            ).astype(d_cond_ref.dtype)
+            )
 
+        # accumulate into the stacked-grad refs; 2-D slices throughout (row
+        # slices for weights, [1, X] row slices for biases/lam) — friendliest
+        # store shapes for Mosaic
         dw = {**dw_attn, **dw_mlp}
         re_ = slice(blk * e, (blk + 1) * e)
         rm = slice(blk * m, (blk + 1) * m)
+        rb = slice(blk, blk + 1)
         wq, bq, wo, bo, wg, bg, wm1, bm1, wm2, bm2, lam = d_w_refs
         wq[re_] += dw["w_qkv"]
-        bq[blk] += dw["b_qkv"][0]
+        bq[rb, :] += dw["b_qkv"]
         wo[re_] += dw["w_o"]
-        bo[blk] += dw["b_o"][0]
+        bo[rb, :] += dw["b_o"]
         wg[re_] += dw["w_g"]
-        bg[blk] += dw["b_g"][0]
+        bg[rb, :] += dw["b_g"]
         wm1[re_] += dw["w_m1"]
-        bm1[blk] += dw["b_m1"][0]
+        bm1[rb, :] += dw["b_m1"]
         wm2[rm] += dw["w_m2"]
-        bm2[blk] += dw["b_m2"][0]
-        lam[blk] += dw["lam"][0]
+        bm2[rb, :] += dw["b_m2"]
+        lam[rb, :] += dw["lam"]
 
+    for b in range(bt):
+        d_cond_ref[b] = jnp.concatenate(d_cond_rows[b], axis=0).astype(
+            d_cond_ref.dtype
+        )
     d_x_ref[:] = d.astype(d_x_ref.dtype)
 
 
