@@ -1,5 +1,8 @@
-"""Posterior plotting (ref ``visualization.py:19-67``): one subplot per state
-dim (trajectory fan + observation scatter) and per theta dim (histogram)."""
+"""Posterior plotting (behavioral counterpart of ref ``visualization.py:19-67``,
+redesigned): per state dim, posterior path quantile bands (5-95% and 25-75%)
+with the median and a few sample paths over the observations; per theta dim, a
+marginal histogram annotated with the median and 90% interval. Laid out on two
+rows (states / parameters) instead of the reference's single strip."""
 
 from __future__ import annotations
 
@@ -15,6 +18,8 @@ if TYPE_CHECKING:
     from viforsdes_tpu.core.observations import Observations
     from viforsdes_tpu.posterior.posterior import VariationalPosteriorSamples
 
+_N_SPAGHETTI = 5  # individual sample paths drawn on top of the bands
+
 
 def plot_posterior(
     samples: "VariationalPosteriorSamples",
@@ -22,46 +27,53 @@ def plot_posterior(
     time_horizon: float,
     show: bool = True,
 ):
-    diffusion_paths = np.asarray(samples.diffusion_paths)
-    sde_parameters = np.asarray(samples.sde_parameters)
-    times = np.linspace(0, time_horizon, diffusion_paths.shape[1])
+    paths = np.asarray(samples.diffusion_paths)  # [N, T+1, D]
+    thetas = np.asarray(samples.sde_parameters)  # [N, P]
+    times = np.linspace(0.0, time_horizon, paths.shape[1])
+    state_dim, param_dim = paths.shape[2], thetas.shape[1]
 
-    n_trajectories = diffusion_paths.shape[0]
-    state_dim = diffusion_paths.shape[2]
-    param_dim = sde_parameters.shape[1]
+    obs_t = np.asarray(observations.times)
+    obs_v = np.asarray(observations.values)
 
+    n_cols = max(state_dim, param_dim)
     fig, axes = plt.subplots(
-        1,
-        state_dim + param_dim,
-        figsize=(4 * (state_dim + param_dim), 4),
-        squeeze=False,
+        2, n_cols, figsize=(3.6 * n_cols, 6.4), squeeze=False
     )
-    ax_list = list(axes[0])
 
+    q05, q25, q50, q75, q95 = np.quantile(paths, [0.05, 0.25, 0.5, 0.75, 0.95], axis=0)
     for d in range(state_dim):
-        for i in range(n_trajectories):
-            ax_list[d].plot(times, diffusion_paths[i, :, d], alpha=0.3, color="C0")
-        ax_list[d].scatter(
-            np.asarray(observations.times),
-            np.asarray(observations.values[:, d])
-            if observations.values.shape[-1] > d
-            else np.full(len(observations.times), np.nan),
-            color="red",
-            s=50,
-            zorder=5,
-        )
-        ax_list[d].set_xlabel("Time")
-        ax_list[d].set_ylabel(f"State {d}")
+        ax = axes[0][d]
+        ax.fill_between(times, q05[:, d], q95[:, d], color="C0", alpha=0.15,
+                        linewidth=0, label="5-95%")
+        ax.fill_between(times, q25[:, d], q75[:, d], color="C0", alpha=0.3,
+                        linewidth=0, label="25-75%")
+        ax.plot(times, q50[:, d], color="C0", linewidth=1.5, label="median")
+        for i in range(min(_N_SPAGHETTI, paths.shape[0])):
+            ax.plot(times, paths[i, :, d], color="C0", alpha=0.25, linewidth=0.6)
+        if obs_v.shape[-1] > d:
+            ax.plot(obs_t, obs_v[:, d], "o", mfc="none", mec="black", ms=6,
+                    mew=1.2, zorder=5, label="observations")
+        ax.set_xlabel("time")
+        ax.set_title(f"state[{d}] posterior paths", fontsize=10)
+        if d == 0:
+            ax.legend(fontsize=7, frameon=False)
+    for d in range(state_dim, n_cols):
+        axes[0][d].axis("off")
 
     for p in range(param_dim):
-        ax_list[state_dim + p].hist(
-            sde_parameters[:, p], bins=30, density=True, alpha=0.7, color="C1"
-        )
-        ax_list[state_dim + p].set_xlabel(f"param_{p}")
-        ax_list[state_dim + p].set_ylabel("Density")
+        ax = axes[1][p]
+        vals = thetas[:, p]
+        ax.hist(vals, bins="auto", density=True, color="C2", alpha=0.6,
+                histtype="stepfilled", edgecolor="C2")
+        lo, mid, hi = np.quantile(vals, [0.05, 0.5, 0.95])
+        ax.axvline(mid, color="black", linewidth=1.2)
+        ax.axvspan(lo, hi, color="black", alpha=0.06)
+        ax.set_title(f"theta[{p}]  {mid:.3g}  [{lo:.3g}, {hi:.3g}]", fontsize=10)
+        ax.set_yticks([])
+    for p in range(param_dim, n_cols):
+        axes[1][p].axis("off")
 
-    plt.tight_layout()
+    fig.tight_layout()
     if show:
         plt.show()
-
     return fig
