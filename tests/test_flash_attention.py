@@ -57,6 +57,19 @@ def test_dispatch_is_off_on_cpu():
     assert not use_flash_attention(100)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="real Mosaic kernel needs TPU")
+def test_flash_matches_dense_on_tpu():
+    """Hardware tier: the real kernel vs dense SDPA at an odd long-grid shape."""
+    kq, kk, kv = jax.random.split(jax.random.key(2), 3)
+    b, s, h, d = 4, 1001, 4, 64
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.bfloat16)
+    got = jax.jit(flash_sdpa)(q, k, v)
+    want = jax.jit(jax.nn.dot_product_attention)(q, k, v)
+    assert float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))) < 2e-2
+
+
 def test_no_padding_when_block_aligned():
     """S already a multiple of the block: no segment ids, plain call."""
     calls = {}
