@@ -115,7 +115,7 @@ def main() -> None:
         hp = head.init(jax.random.key(2))
         ctx = jax.random.normal(jax.random.key(3), (B, 100, 256))
         th = jax.random.normal(jax.random.key(4), (B, 3))
-        eps = jax.random.normal(jax.random.key(5), (B, 100, 1))
+        eps = jax.random.normal(jax.random.key(5), (100, B, 1))  # time-major
         x0 = jnp.zeros((B, 1))
 
         def head_loss(hp, ctx, th, eps):

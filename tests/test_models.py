@@ -143,7 +143,7 @@ class TestHead:
         x0 = jax.random.normal(jax.random.key(2), (B, 2))
         context = jax.random.normal(jax.random.key(3), (B, T, 6))
         theta = jax.random.normal(jax.random.key(4), (B, 3))
-        noise = jax.random.normal(jax.random.key(5), (B, T, 2))
+        noise = jax.random.normal(jax.random.key(5), (T, B, 2))  # time-major
         dt = 0.1
 
         paths, means, chols = head.sample_diffusion_paths(params, x0, context, theta, noise, dt)
@@ -153,7 +153,7 @@ class TestHead:
         sqrt_dt = dt**0.5
         for t in range(T):
             mu, L, hidden = head.forward(params, x, context[:, t], theta, hidden)
-            x = x + mu * dt + jnp.einsum("bij,bj->bi", L, noise[:, t]) * sqrt_dt
+            x = x + mu * dt + jnp.einsum("bij,bj->bi", L, noise[t]) * sqrt_dt
             np.testing.assert_allclose(np.asarray(means[:, t]), np.asarray(mu), rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(np.asarray(chols[:, t]), np.asarray(L), rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(np.asarray(paths[:, t + 1]), np.asarray(x), rtol=1e-5, atol=1e-6)
@@ -167,13 +167,13 @@ class TestHead:
         x0 = jnp.zeros((B, 2))
         context = jax.random.normal(jax.random.key(1), (B, T, 6))
         theta = jnp.ones((B, 3))
-        noise = jax.random.normal(jax.random.key(2), (B, T, 2))
+        noise = jax.random.normal(jax.random.key(2), (T, B, 2))  # time-major
         paths, means, chols = head.sample_diffusion_paths(params, x0, context, theta, noise, 0.04)
         np.testing.assert_allclose(np.asarray(means), 0.0, atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(chols), np.broadcast_to(np.eye(2), (B, T, 2, 2)), atol=1e-6
         )
-        want = np.cumsum(np.asarray(noise), axis=1) * 0.2
+        want = np.swapaxes(np.cumsum(np.asarray(noise), axis=0), 0, 1) * 0.2
         np.testing.assert_allclose(np.asarray(paths[:, 1:]), want, rtol=1e-5, atol=1e-6)
 
     def test_gradients_flow_through_scan(self):
@@ -189,7 +189,7 @@ class TestHead:
             jax.random.normal(jax.random.key(1), (B, 2)),
             jax.random.normal(jax.random.key(2), (B, T, 6)),
             jax.random.normal(jax.random.key(3), (B, 3)),
-            jax.random.normal(jax.random.key(4), (B, T, 2)),
+            jax.random.normal(jax.random.key(4), (T, B, 2)),  # time-major
         )
 
         def loss(p):

@@ -31,7 +31,8 @@ def _inputs(key, B, T, state_dim, context_dim=6, param_dim=3):
         jax.random.normal(ks[0], (B, state_dim)),
         jax.random.normal(ks[1], (B, T, context_dim)),
         jax.random.normal(ks[2], (B, param_dim)),
-        jax.random.normal(ks[3], (B, T, state_dim)),
+        # noise is time-major [T, B, D] (head/path_sampler contract)
+        jax.random.normal(ks[3], (T, B, state_dim)),
     )
 
 

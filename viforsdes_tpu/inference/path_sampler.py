@@ -1,8 +1,9 @@
 """Functional glue: encoder -> noise -> head roll-out.
 
 Parity target: reference ``inference/diffusion_path_sampler.py:35-69``: run the
-encoder over the grid, draw ``eps ~ N(0,I) [B, T, D]`` (explicit key here),
-map ``x0 -> z0``, roll the head over ``context[:, :-1]``, and wrap the result.
+encoder over the grid, draw ``eps ~ N(0,I)`` (explicit key here; time-major
+``[T, B, D]`` — the recurrence consumes it without transposes), map
+``x0 -> z0``, roll the head over ``context[:, :-1]``, and wrap the result.
 """
 
 from __future__ import annotations
@@ -38,7 +39,8 @@ def sample_diffusion_paths(
     )
     n_steps = context.shape[1] - 1
 
-    noise = jax.random.normal(key, (batch_size, n_steps, state_dim), dtype=jnp.float32)
+    # time-major: the head's recurrence consumes [T, B, D] without transposes
+    noise = jax.random.normal(key, (n_steps, batch_size, state_dim), dtype=jnp.float32)
     z0 = state_space.to_latent(x0)
 
     paths, transition_means, transition_cholesky = head.sample_diffusion_paths(

@@ -176,7 +176,9 @@ class DiffusionTransitionHead:
         """Hoist the context/theta input projections out of the recurrence:
         one big MXU matmul over [B*T, C] plus a theta term constant in t
         (generalizing the reference kernel's theta-only hoist,
-        ``forward.py:157-175``). Returns (gates_const [B,T,3H], w_x [D,3H])."""
+        ``forward.py:157-175``). Returns (gates_const TIME-MAJOR [T,B,3H],
+        w_x [D,3H]) — time-major end to end so neither the scan nor the
+        Pallas kernel transposes the stream at the custom_vjp boundary."""
         d = self.state_dim
         context = context.astype(jnp.float32)
         theta = theta.astype(jnp.float32)
@@ -187,8 +189,8 @@ class DiffusionTransitionHead:
         w_c = w_ih0[d : d + self.context_dim]
         w_t = w_ih0[d + self.context_dim :]
         gates_const = (
-            jnp.einsum("btc,ch->bth", context, w_c, precision=_FP32)
-            + jnp.dot(theta, w_t, precision=_FP32)[:, None, :]
+            jnp.einsum("btc,ch->tbh", context, w_c, precision=_FP32)
+            + jnp.dot(theta, w_t, precision=_FP32)[None, :, :]
             + p0["b_ih"].astype(jnp.float32)
         )
         return gates_const, w_x
@@ -234,10 +236,13 @@ class DiffusionTransitionHead:
         time_step: float,
     ) -> tuple[Array, Array, Array]:
         """Roll the full path: ``(z0 [B,D], context [B,T,C], theta [B,P],
-        eps [B,T,D]) -> (paths [B,T+1,D], means [B,T,D], chol [B,T,D,D])``.
+        eps TIME-MAJOR [T,B,D]) -> (paths [B,T+1,D], means [B,T,D],
+        chol [B,T,D,D])``.
 
         Functional replacement for ``_SDEFunction.apply`` + both Triton kernels
-        (ref ``kernels/autograd.py:35-268``). fp32 throughout.
+        (ref ``kernels/autograd.py:35-268``). fp32 throughout. The noise and
+        the hoisted gate stream travel time-major so the recurrence (scan or
+        Pallas) consumes them without boundary transposes.
         """
         batch, n_steps, _ = context.shape
         d = self.state_dim
@@ -259,9 +264,8 @@ class DiffusionTransitionHead:
         if sampler == "pallas":
             return self._sample_pallas(params, x0, gates_const, noise, time_step)
 
-        # Time-major for the scan.
-        gates_const_t = jnp.swapaxes(gates_const, 0, 1)  # [T, B, 3H]
-        noise_t = jnp.swapaxes(noise, 0, 1)  # [T, B, D]
+        gates_const_t = gates_const  # already [T, B, 3H]
+        noise_t = noise  # already [T, B, D]
 
         deeper = [
             {k: v.astype(jnp.float32) for k, v in p.items()} for p in params["gru"][1:]

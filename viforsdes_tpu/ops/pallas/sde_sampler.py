@@ -517,9 +517,12 @@ def _prep_weights(spec: SamplerSpec, weights: dict):
 class FusedPathSampler:
     """custom_vjp-wrapped fused sampler for a fixed head configuration.
 
-    Public call: ``(weights_pytree, x0 [B,D], gates_const [B,T,3H],
-    noise [B,T,D]) -> (paths [B,T+1,D], means [B,T,D], chol_vals [B,T,n_tril])``
-    with chol diag already clamped at ``diag_min``.
+    Public call: ``(weights_pytree, x0 [B,D], gates_const TIME-MAJOR [T,B,3H],
+    noise TIME-MAJOR [T,B,D]) -> (paths [B,T+1,D], means [B,T,D],
+    chol_vals [B,T,n_tril])`` with chol diag already clamped at ``diag_min``.
+    The input streams and their cotangents stay time-major across the
+    custom_vjp boundary (no transposes); only the public outputs are
+    batch-major (the ELBO consumes them that way).
     """
 
     def __init__(self, spec: SamplerSpec) -> None:
@@ -561,7 +564,7 @@ class FusedPathSampler:
 
     def _forward(self, kernel_weights, x0, gates_const, noise, *, save_h: bool):
         spec = self.spec
-        batch, n_steps, _ = gates_const.shape
+        n_steps, batch, _ = gates_const.shape  # streams arrive time-major
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         n_out = d + spec.n_tril
         # fwd streams per step: gates 3H + eps d + paths d + raw n_out (+ h LH)
@@ -570,14 +573,14 @@ class FusedPathSampler:
         tc, block_b = _fit_chunk_and_block(n_steps, spec.max_t_chunk, block_b, lanes)
         pad_b = _round_up(batch, block_b)
         if pad_b != batch:
-            pad = ((0, pad_b - batch), (0, 0), (0, 0))
+            pad = ((0, 0), (0, pad_b - batch), (0, 0))
             gates_const = jnp.pad(gates_const, pad)
             noise = jnp.pad(noise, pad)
             x0 = jnp.pad(x0, ((0, pad_b - batch), (0, 0)))
 
-        # Streams are time-major [T, B, X] so chunk blocks are (TC, block_b, X).
-        gc_t = jnp.swapaxes(gates_const.astype(jnp.float32), 0, 1)
-        eps_t = jnp.swapaxes(noise.astype(jnp.float32), 0, 1)
+        # Time-major [T, B, X] end to end; chunk blocks are (TC, block_b, X).
+        gc_t = gates_const.astype(jnp.float32)
+        eps_t = noise.astype(jnp.float32)
 
         out_shapes = [
             jax.ShapeDtypeStruct((n_steps, pad_b, d), jnp.float32),      # paths_rest
@@ -624,7 +627,7 @@ class FusedPathSampler:
         (kernel_weights, x0, gates_const, noise, paths_full, h_all, raw) = residuals
         d_paths_full, d_means, d_cholv = cotangents
 
-        batch, n_steps, _ = gates_const.shape
+        n_steps, batch, _ = gates_const.shape  # gc/noise are time-major
         d, h, L = spec.state_dim, spec.hidden_dim, spec.num_layers
         L1 = max(L - 1, 1)
         n_out = d + spec.n_tril
@@ -645,13 +648,14 @@ class FusedPathSampler:
 
         def pad_tmaj(a):
             """already time-major [T, B, X] -> [T, pad_b, X]."""
+            a = a.astype(jnp.float32)
             if pad_b != batch:
                 a = jnp.pad(a, ((0, 0), (0, pad_b - batch), (0, 0)))
             return a
 
         args = [
-            tmaj(gates_const),
-            tmaj(noise),
+            pad_tmaj(gates_const),
+            pad_tmaj(noise),
             tmaj(paths_full[:, :-1]),  # x_t = state entering step t
             pad_tmaj(h_all),
             pad_tmaj(h_all),
@@ -734,8 +738,10 @@ class FusedPathSampler:
             d_b_out,
         ) = results
 
-        d_gc = jnp.swapaxes(d_gc, 0, 1)[:batch]
-        d_noise = jnp.swapaxes(d_eps, 0, 1)[:batch].astype(noise.dtype)
+        # cotangents leave time-major, matching the primal layout — no
+        # boundary transposes (round-1 VERDICT item 6)
+        d_gc = d_gc[:, :batch]
+        d_noise = d_eps[:, :batch].astype(noise.dtype)
         d_x0 = d_x0_rec[:batch] + d_paths_full[:, 0].astype(jnp.float32)
 
         d_kernel_weights = (
