@@ -170,7 +170,7 @@ class TestEma:
         assert ema["a"] is not params["a"]
 
 
-def _make_trainer(n_iterations=5, pretrain=False, **kwargs):
+def _make_trainer(n_iterations=5, pretrain=False, train_config=None, **kwargs):
     sde = _ou_sde()
     obs = Observations(times=[0.0, 1.0, 2.0], values=[[2.0], [1.5], [0.8]])
     return VariationalInferenceTrainer(
@@ -179,7 +179,8 @@ def _make_trainer(n_iterations=5, pretrain=False, **kwargs):
         observation_likelihood=GaussianObservationLikelihood(variance=0.1),
         prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
         time_horizon=2.0,
-        config=TrainingConfig(time_step=0.25, batch_size=8, n_iterations=n_iterations),
+        config=train_config
+        or TrainingConfig(time_step=0.25, batch_size=8, n_iterations=n_iterations),
         encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
         head_config=HeadConfig(hidden_dim=8, num_layers=2),
         state_positive_dims=[],
@@ -220,6 +221,43 @@ class TestTrainer:
         trainer = _make_trainer(n_iterations=4)
         trainer.train(callback=lambda step, elbo: seen.append(step))
         assert seen == [0, 1, 2, 3]
+
+    def test_theta_warmup_freezes_theta(self):
+        """With theta_warmup_steps >= n_iterations, theta must not move while
+        the rest of the model trains."""
+        trainer = _make_trainer(
+            train_config=TrainingConfig(
+                time_step=0.25, batch_size=8, n_iterations=3, theta_warmup_steps=10
+            ),
+        )
+        before_theta = jax.tree.map(np.asarray, trainer.params["theta"])
+        before_enc = np.asarray(
+            jax.tree.leaves(trainer.params["encoder"])[0]
+        ).copy()
+        state = trainer.train()
+        after = state.params
+        np.testing.assert_allclose(
+            np.asarray(after["theta"]["mean"]), before_theta["mean"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(after["theta"]["log_std"]), before_theta["log_std"]
+        )
+        assert (
+            float(
+                np.linalg.norm(
+                    np.asarray(jax.tree.leaves(after["encoder"])[0]) - before_enc
+                )
+            )
+            > 0
+        )
+
+    def test_sde_param_init_std(self):
+        trainer = _make_trainer(n_iterations=1, sde_param_init_std=0.1)
+        np.testing.assert_allclose(
+            np.asarray(trainer.params["theta"]["log_std"]),
+            np.log(0.1),
+            rtol=1e-6,
+        )
 
     def test_pretrain_reduces_mse(self):
         trainer = _make_trainer(n_iterations=1)

@@ -49,6 +49,20 @@ class TrainingConfig(YamlConfig):
     sde_param_lr: float = 1e-3
     grad_clip_norm: float = 1.0
     compute_dtype: ComputeDtype = ComputeDtype.BFLOAT16
+    # Freeze the theta posterior for the first N steps so the (zero-init)
+    # path model learns to bridge observations before theta moves. Without
+    # it, chaotic systems collapse: the drift-regression against early
+    # random-walk paths pulls theta to degenerate values faster than the
+    # path model can learn, and the two lock in (Lorenz-63: sigma_L -> 0.05
+    # from a near-truth init, results_lorenz.json round-2 diagnosis).
+    theta_warmup_steps: int = 0
+
+    @field_validator("theta_warmup_steps")
+    @classmethod
+    def validate_warmup(cls, v: int) -> int:
+        if v < 0:
+            raise ValueError("theta_warmup_steps must be >= 0")
+        return v
 
     @field_validator("time_step", "learning_rate", "sde_param_lr", "grad_clip_norm")
     @classmethod

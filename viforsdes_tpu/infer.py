@@ -48,6 +48,10 @@ class InferenceConfig:
     sde_param_positive_dims: list[int] = field(default_factory=list)
     param_names: list[str] | None = None
     sde_param_init_mean: Array | None = None
+    # Initial std of q(theta) in the unconstrained space (reference fixes 1.0;
+    # tighten after a confident global pretrain so early theta samples stay
+    # near the pretrained mean).
+    sde_param_init_std: float = 1.0
     pretrain: bool | PretrainConfig = False
     console: Console | None = None
     seed: int = 0
@@ -142,6 +146,7 @@ def infer(
         console=cfg.console,
         param_names=cfg.param_names,
         sde_param_init_mean=cfg.sde_param_init_mean,
+        sde_param_init_std=cfg.sde_param_init_std,
         seed=cfg.seed,
         mesh=cfg.mesh,
         x0=cfg.x0,

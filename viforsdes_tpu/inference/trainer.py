@@ -105,6 +105,7 @@ class VariationalInferenceTrainer:
         console: Console | None = None,
         param_names: list[str] | None = None,
         sde_param_init_mean: Array | None = None,
+        sde_param_init_std: float = 1.0,
         seed: int = 0,
         mesh: Mesh | None = None,
         x0: Array | None = None,
@@ -144,7 +145,9 @@ class VariationalInferenceTrainer:
         )
 
         self.params = self.model.init(
-            self._init_key, sde_param_init_mean=sde_param_init_mean
+            self._init_key,
+            sde_param_init_mean=sde_param_init_mean,
+            sde_param_init_std=sde_param_init_std,
         )
         self.optimizer = make_optimizer(config)
         self.opt_state = self.optimizer.init(self.params)
@@ -292,10 +295,20 @@ class VariationalInferenceTrainer:
             return -result.evidence_lower_bound, result
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(params, opt_state, ema, key):
+        def train_step(params, opt_state, ema, key, theta_scale=None):
             (_, result), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
             grad_norm = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            if theta_scale is not None:
+                # theta warmup: zero the APPLIED theta update (keeps AdamW's
+                # weight decay from dragging the frozen mean; moments still
+                # accumulate so release is smooth)
+                updates = {
+                    **updates,
+                    "theta": jax.tree.map(
+                        lambda u: u * theta_scale, updates["theta"]
+                    ),
+                }
             params = optax.apply_updates(params, updates)
             ema = ema_update(ema, params)
             metrics = StepMetrics(
@@ -375,12 +388,24 @@ class VariationalInferenceTrainer:
             update_interval=update_interval,
             param_names=self.param_names,
         ) as progress:
+            warmup = self.config.theta_warmup_steps
             for step in range(self._start_step, self.config.n_iterations):
                 self.step = step
                 key = jax.random.fold_in(self._train_key, step)
-                self.params, self.opt_state, self.ema_params, metrics = (
-                    self._train_step(self.params, self.opt_state, self.ema_params, key)
-                )
+                if warmup > 0:
+                    theta_scale = jnp.float32(0.0 if step < warmup else 1.0)
+                    self.params, self.opt_state, self.ema_params, metrics = (
+                        self._train_step(
+                            self.params, self.opt_state, self.ema_params, key,
+                            theta_scale,
+                        )
+                    )
+                else:
+                    self.params, self.opt_state, self.ema_params, metrics = (
+                        self._train_step(
+                            self.params, self.opt_state, self.ema_params, key
+                        )
+                    )
                 self._completed_steps = step + 1
                 pending.append((step, metrics))
                 if (step + 1) % update_interval == 0:

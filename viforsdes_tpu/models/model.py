@@ -49,10 +49,18 @@ class VariationalSDEPosterior:
         )
         self.theta_posterior = ThetaPosterior(sde_param_dim, sde_param_positive_dims)
 
-    def init(self, key: Array, *, sde_param_init_mean: Array | None = None) -> dict:
+    def init(
+        self,
+        key: Array,
+        *,
+        sde_param_init_mean: Array | None = None,
+        sde_param_init_std: float = 1.0,
+    ) -> dict:
         k_enc, k_head = jax.random.split(key)
         return {
             "encoder": self.encoder.init(k_enc),
             "head": self.head.init(k_head),
-            "theta": self.theta_posterior.init(init_mean=sde_param_init_mean),
+            "theta": self.theta_posterior.init(
+                init_mean=sde_param_init_mean, init_std=sde_param_init_std
+            ),
         }
