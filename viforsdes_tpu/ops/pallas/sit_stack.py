@@ -239,6 +239,13 @@ def _bwd_kernel(spec: SiTStackSpec, xs_ref, v0_ref, cond_ref, cos_ref, sin_ref, 
 # ====================================================== pallas_call setup ==
 
 
+# Mosaic's default scoped-VMEM budget is 16 MB, far below the physical
+# 128 MB; the stack kernel's working set (batch tile x one block's
+# intermediates) plus resident stacked weights need more. This limit is what
+# capped the earlier per-block kernels at batch-tile 2.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _const(shape):
     nd = len(shape)
     return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
@@ -337,6 +344,7 @@ class FusedSiTStack:
                 jax.ShapeDtypeStruct((pad_b * sp, e), x.dtype),
             ],
             interpret=spec.interpret,
+            compiler_params=_VMEM_LIMIT,
         )(xf, condf, self._cos_fwd, self._sin_fwd, *kw)
         x_out = x_out.reshape(pad_b, sp, e)[:batch, :s]
         return x_out, xs, v0
@@ -395,6 +403,7 @@ class FusedSiTStack:
                 *[jax.ShapeDtypeStruct(shape, jnp.float32) for shape in w_shapes],
             ],
             interpret=spec.interpret,
+            compiler_params=_VMEM_LIMIT,
         )(xs, v0, condf, self._cos_bwd, self._sin_bwd, *kw, d_outf)
 
         d_x = results[0].reshape(pad_b, sp, e)[:batch, :s].astype(x_dtype)
