@@ -29,17 +29,24 @@ class Observations(BaseModel):
 
     model_config = ConfigDict(frozen=True, arbitrary_types_allowed=True)
 
-    times: Array
+    times: np.ndarray  # host float64: static grid metadata, never a tensor
     values: Array
 
     @model_validator(mode="before")
     @classmethod
     def _coerce(cls, data: dict) -> dict:
-        # Accept lists / numpy inputs for ergonomics; store as jnp float arrays.
+        # Accept lists / numpy inputs for ergonomics. Values become jnp fp32
+        # device arrays; TIMES stay host numpy float64 — they are static grid
+        # metadata (slot indices, validation), and fp32 rounding of times
+        # >= 16.2 exceeds the 1e-6 grid-alignment tolerance (long-horizon
+        # dense-obs configs failed validation when times were fp32).
         if isinstance(data, dict):
-            for k in ("times", "values"):
-                if k in data and not isinstance(data[k], jax.Array):
-                    data[k] = jnp.asarray(np.asarray(data[k], dtype=np.float32))
+            if "times" in data:
+                data["times"] = np.asarray(data["times"], dtype=np.float64)
+            if "values" in data and not isinstance(data["values"], jax.Array):
+                data["values"] = jnp.asarray(
+                    np.asarray(data["values"], dtype=np.float32)
+                )
         return data
 
     @model_validator(mode="after")
