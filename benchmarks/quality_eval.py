@@ -192,10 +192,18 @@ def run_highdim(n_iterations: int) -> dict:
 
 
 def run_lorenz(n_iterations: int) -> dict:
+    """Ladder 3: dense obs (every 0.2 time units), T=20, 2000-step scan.
+
+    Config notes (BASELINE.md round-2 diagnosis): at 0.5-unit spacing the
+    variational family's ELBO genuinely prefers degenerate drift (the GRU
+    bridges cannot track chaos across 50-step segments); 0.2-unit spacing
+    keeps bridging feasible. theta_warmup lets the zero-init path model learn
+    before theta moves; init_std 0.3 keeps early theta samples near the
+    global pretrain's mean."""
     import jax
     from lorenz63 import StochasticLorenz63, simulate_observations, TRUE_PARAMS
 
-    observations = simulate_observations(jax.random.key(17))
+    observations = simulate_observations(jax.random.key(17), obs_every=0.2)
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=StochasticLorenz63(),
@@ -204,10 +212,14 @@ def run_lorenz(n_iterations: int) -> dict:
         prior=vt.Prior(type=vt.PriorType.LOG_NORMAL, mean=1.0, std=1.5, dim=3),
         time_horizon=20.0,
         config=vt.InferenceConfig(
-            training=vt.TrainingConfig(time_step=0.01, batch_size=32, n_iterations=n_iterations),
+            training=vt.TrainingConfig(
+                time_step=0.01, batch_size=32, n_iterations=n_iterations,
+                theta_warmup_steps=1000,
+            ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=64, num_layers=2),
             sde_param_positive_dims=[0, 1, 2],
+            sde_param_init_std=0.3,
             param_names=["sigma_L", "rho", "beta"],
             pretrain=vt.PretrainConfig(n_iterations=300, batch_size=1024),
             console=vt.Console(enabled=False),

@@ -169,6 +169,23 @@ class TestInferValidation:
         with pytest.raises(Exception, match="align"):
             self._run(self._obs([0.0, 1.23], [[1.0], [2.0]]))
 
+    def test_large_times_survive_grid_alignment(self):
+        """Times are stored host float64: at t >= 16.2 an fp32 representation
+        drifts ~2e-6 off a 0.01 grid, past the 1e-6 alignment tolerance
+        (regression: long-horizon dense-obs configs failed validation)."""
+        import numpy as np
+        from viforsdes_tpu.infer import _InferenceInputs
+
+        times = (np.arange(0, 2001, 10) * 0.01).tolist()  # 0.0 .. 20.0
+        obs = vt.Observations(times=times, values=[[1.0]] * len(times))
+        assert obs.times.dtype == np.float64
+        _InferenceInputs(
+            observations=obs, time_horizon=20.0, time_step=0.01,
+            state_dim=1, sde_param_dim=3,
+            state_positive_dims=[], sde_param_positive_dims=[],
+            prior=vt.Prior(type=vt.PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+        )
+
     def test_obs_beyond_horizon(self):
         with pytest.raises(Exception, match="within"):
             self._run(self._obs([0.0, 3.0], [[1.0], [2.0]]))
