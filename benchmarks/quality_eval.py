@@ -196,14 +196,15 @@ def run_lorenz(n_iterations: int) -> dict:
 
     Config notes (BASELINE.md round-2 diagnosis): at 0.5-unit spacing the
     variational family's ELBO genuinely prefers degenerate drift (the GRU
-    bridges cannot track chaos across 50-step segments); 0.2-unit spacing
+    bridges cannot track chaos across 50-step segments; at 0.2 the beta
+    component still partially collapses). 0.1-unit spacing (10-step segments)
     keeps bridging feasible. theta_warmup lets the zero-init path model learn
     before theta moves; init_std 0.3 keeps early theta samples near the
     global pretrain's mean."""
     import jax
     from lorenz63 import StochasticLorenz63, simulate_observations, TRUE_PARAMS
 
-    observations = simulate_observations(jax.random.key(17), obs_every=0.2)
+    observations = simulate_observations(jax.random.key(17), obs_every=0.1)
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=StochasticLorenz63(),
