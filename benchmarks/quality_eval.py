@@ -166,7 +166,12 @@ def run_highdim(n_iterations: int) -> dict:
     from highdim_ou_dp import HighDimOU, simulate_observations
 
     true_theta = (1.2, 0.8, 0.5)
-    observations = simulate_observations(jax.random.key(3))
+    # Dense observations (every 0.25, 21 obs) and a 128-wide head: with the
+    # original 6 obs and a 64-wide head the 32-dim bridges were too crude and
+    # theta collapsed toward weak dynamics (kappa 1.06 -> 0.31-0.37) despite a
+    # near-truth pretrain — the same degenerate-basin failure documented for
+    # Lorenz-63 in BASELINE.md.
+    observations = simulate_observations(jax.random.key(3), obs_every=0.25)
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=HighDimOU(),
@@ -175,10 +180,14 @@ def run_highdim(n_iterations: int) -> dict:
         prior=vt.Prior(type=vt.PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
         time_horizon=5.0,
         config=vt.InferenceConfig(
-            training=vt.TrainingConfig(time_step=0.05, batch_size=1024, n_iterations=n_iterations),
+            training=vt.TrainingConfig(
+                time_step=0.05, batch_size=1024, n_iterations=n_iterations,
+                theta_warmup_steps=500,
+            ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
-            head=vt.HeadConfig(hidden_dim=64, num_layers=2),
+            head=vt.HeadConfig(hidden_dim=128, num_layers=2),
             sde_param_positive_dims=[0, 2],
+            sde_param_init_std=0.5,
             param_names=["kappa", "mu", "sigma"],
             pretrain=vt.PretrainConfig(),
             console=vt.Console(enabled=False),

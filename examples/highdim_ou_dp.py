@@ -34,12 +34,12 @@ class HighDimOU:
         return sigma[..., None] * eye
 
 
-def simulate_observations(key):
+def simulate_observations(key, obs_every: float = 1.0):
     sde = HighDimOU()
     x0 = 2.0 * jnp.ones((1, STATE_DIM))
     theta = jnp.asarray([[1.2, 0.8, 0.5]])
     traj = vt.euler_maruyama(sde, x0, theta, 5.0, 0.01, key=key)
-    idx = np.arange(0, 501, 100)
+    idx = np.arange(0, 501, round(obs_every / 0.01))
     return vt.Observations(times=(idx * 0.01).tolist(), values=np.asarray(traj[0, idx]))
 
 
