@@ -57,6 +57,35 @@ def test_dispatch_is_off_on_cpu():
     assert not use_flash_attention(100)
 
 
+def test_splash_interpret_matches_dense():
+    """The opt-in splash backend (interpret mode): padded + masked non-causal
+    attention matches dense SDPA, forward and gradient."""
+    from viforsdes_tpu.ops.flash_attention import _splash_sdpa
+
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    b, s, h, d = 2, 230, 2, 64  # padded internally to 256
+    pad = 256 - s
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+
+    def splash(q, k, v):
+        qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        qh, kh, vh = (
+            jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0))) for t in (qh, kh, vh)
+        )
+        out = _splash_sdpa(qh, kh, vh, s, 1.0 / d**0.5, interpret=True)
+        return jnp.swapaxes(out[:, :, :s, :], 1, 2)
+
+    got = splash(q, k, v)
+    want = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    g_got = jax.grad(lambda q: splash(q, k, v).sum())(q)
+    g_want = jax.grad(lambda q: jax.nn.dot_product_attention(q, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=3e-5)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="real Mosaic kernel needs TPU")
 def test_flash_matches_dense_on_tpu():
     """Hardware tier: the real kernel vs dense SDPA at an odd long-grid shape."""

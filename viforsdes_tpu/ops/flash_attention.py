@@ -27,6 +27,7 @@ by TPU-gated parity tests and the Lorenz ladder run.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,54 @@ def _kernel():
     return fa
 
 
+@functools.lru_cache(maxsize=None)
+def _splash_kernel(s_padded: int, num_heads: int, interpret: bool):
+    """Build a cached splash-attention kernel for a padded sequence length.
+
+    Splash measured 12.39 ms fwd+bwd vs the flash kernel's 14.45 ms at
+    (32, 4, 2048, 64) on v5e-1 (benchmarks/profile_flash_sweep.py); opt-in
+    via VIFORSDES_SPLASH=1 until it has soaked on the Lorenz ladder.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    blk = min(1024, s_padded)
+    mask = sm.MultiHeadMask([sm.FullMask((s_padded, s_padded))] * num_heads)
+    kernel = sk.make_splash_mha(
+        mask,
+        head_shards=1,
+        q_seq_shards=1,
+        block_sizes=sk.BlockSizes(
+            block_q=blk, block_kv=blk, block_kv_compute=blk,
+            block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+            block_q_dq=blk, block_kv_dq=blk,
+        ),
+        interpret=interpret,
+    )
+    return kernel, sk
+
+
+def _splash_sdpa(qh, kh, vh, real_len: int, sm_scale: float, *, interpret=False):
+    """Non-causal splash attention over padded [B, H, S_pad, D] tensors.
+
+    sm_scale is folded into q (splash applies no scale itself); pad tokens
+    are masked with per-example segment ids (identical for every example
+    since padding is uniform).
+    """
+    s_padded = qh.shape[2]
+    kernel, sk = _splash_kernel(s_padded, qh.shape[1], interpret)
+    segment_ids = None
+    if real_len != s_padded:
+        seg = jnp.zeros((s_padded,), dtype=jnp.int32).at[real_len:].set(1)
+        segment_ids = sk.SegmentIds(q=seg, kv=seg)
+    qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
+    return jax.vmap(
+        lambda q, k, v: kernel(q, k, v, segment_ids=segment_ids)
+    )(qs, kh, vh)
+
+
 def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
     """Non-causal flash attention over ``[B, S, H, D]`` tensors.
 
@@ -108,6 +157,12 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
         seg = jnp.zeros((b, s + pad), dtype=jnp.int32).at[:, s:].set(1)
         fa = _kernel()
         segment_ids = fa.SegmentIds(q=seg, kv=seg)
+
+    if impl is None and os.environ.get("VIFORSDES_SPLASH"):
+        out = _splash_sdpa(qh, kh, vh, s, sm_scale)
+        if pad:
+            out = out[:, :, :s, :]
+        return jnp.swapaxes(out, 1, 2)
 
     if impl is None:
         fa = _kernel()
