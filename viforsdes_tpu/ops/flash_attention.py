@@ -88,8 +88,9 @@ def _splash_kernel(s_padded: int, num_heads: int, interpret: bool):
     """Build a cached splash-attention kernel for a padded sequence length.
 
     Splash measured 12.39 ms fwd+bwd vs the flash kernel's 14.45 ms at
-    (32, 4, 2048, 64) on v5e-1 (benchmarks/profile_flash_sweep.py); opt-in
-    via VIFORSDES_SPLASH=1 until it has soaked on the Lorenz ladder.
+    (32, 4, 2048, 64) on v5e-1 (benchmarks/profile_flash_sweep.py), and
+    161.4 vs 179.8 ms for the full Lorenz encoder fwd+bwd interleaved; it is
+    the long-grid default (VIFORSDES_SPLASH=0 falls back to flash).
     """
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
@@ -98,17 +99,20 @@ def _splash_kernel(s_padded: int, num_heads: int, interpret: bool):
 
     blk = min(1024, s_padded)
     mask = sm.MultiHeadMask([sm.FullMask((s_padded, s_padded))] * num_heads)
-    kernel = sk.make_splash_mha(
-        mask,
-        head_shards=1,
-        q_seq_shards=1,
-        block_sizes=sk.BlockSizes(
-            block_q=blk, block_kv=blk, block_kv_compute=blk,
-            block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
-            block_q_dq=blk, block_kv_dq=blk,
-        ),
-        interpret=interpret,
-    )
+    # flash_sdpa may be tracing when the cache misses: keep the kernel's own
+    # setup arrays concrete so nothing traced leaks into the cached object
+    with jax.ensure_compile_time_eval():
+        kernel = sk.make_splash_mha(
+            mask,
+            head_shards=1,
+            q_seq_shards=1,
+            block_sizes=sk.BlockSizes(
+                block_q=blk, block_kv=blk, block_kv_compute=blk,
+                block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+                block_q_dq=blk, block_kv_dq=blk,
+            ),
+            interpret=interpret,
+        )
     return kernel, sk
 
 
@@ -158,7 +162,11 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
         fa = _kernel()
         segment_ids = fa.SegmentIds(q=seg, kv=seg)
 
-    if impl is None and os.environ.get("VIFORSDES_SPLASH"):
+    # Splash is the default long-grid kernel: interleaved same-process
+    # measurement at the Lorenz encoder shape has splash fwd+bwd at 161.4 ms
+    # vs flash 179.8 ms (gradients agree to bf16 tolerance, 4.1e-3).
+    # ``VIFORSDES_SPLASH=0`` falls back to the flash kernel.
+    if impl is None and os.environ.get("VIFORSDES_SPLASH", "1") != "0":
         out = _splash_sdpa(qh, kh, vh, s, sm_scale)
         if pad:
             out = out[:, :, :s, :]
