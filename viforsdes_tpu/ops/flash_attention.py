@@ -87,10 +87,10 @@ def _kernel():
 def _splash_kernel(s_padded: int, num_heads: int, interpret: bool):
     """Build a cached splash-attention kernel for a padded sequence length.
 
-    Splash measured 12.39 ms fwd+bwd vs the flash kernel's 14.45 ms at
-    (32, 4, 2048, 64) on v5e-1 (benchmarks/profile_flash_sweep.py), and
-    161.4 vs 179.8 ms for the full Lorenz encoder fwd+bwd interleaved; it is
-    the long-grid default (VIFORSDES_SPLASH=0 falls back to flash).
+    Splash wins isolated benchmarks (12.39 vs 14.45 ms at (32, 4, 2048, 64);
+    161.4 vs 179.8 ms encoder fwd+bwd) but LOSES badly inside the full jitted
+    train step (533.6 vs 191 ms Lorenz step) — kept opt-in via
+    VIFORSDES_SPLASH=1 until that lowering pathology is understood.
     """
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
@@ -162,11 +162,13 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
         fa = _kernel()
         segment_ids = fa.SegmentIds(q=seg, kv=seg)
 
-    # Splash is the default long-grid kernel: interleaved same-process
-    # measurement at the Lorenz encoder shape has splash fwd+bwd at 161.4 ms
-    # vs flash 179.8 ms (gradients agree to bf16 tolerance, 4.1e-3).
-    # ``VIFORSDES_SPLASH=0`` falls back to the flash kernel.
-    if impl is None and os.environ.get("VIFORSDES_SPLASH", "1") != "0":
+    # Splash stays OPT-IN (VIFORSDES_SPLASH=1): it wins the encoder-only
+    # interleaved benchmark (fwd+bwd 161.4 ms vs flash 179.8 ms, gradients
+    # agreeing to bf16 tolerance) but the FULL jitted Lorenz train step
+    # measured 533.6 ms with splash vs 191 ms with flash — something about
+    # its lowering inside the big donated train-step program is pathological.
+    # Do not flip without measuring the full step.
+    if impl is None and os.environ.get("VIFORSDES_SPLASH") == "1":
         out = _splash_sdpa(qh, kh, vh, s, sm_scale)
         if pad:
             out = out[:, :, :s, :]
