@@ -178,6 +178,10 @@ def main() -> None:
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                # vs_baseline divides by THIS repo's first-build 52.9 steps/s
+                # (the reference's Triton sampler cannot run without CUDA);
+                # it is NOT a vs-reference speedup.
+                "vs_baseline_basis": "self_round1",
                 "iqr": round(iqr, 3),
                 "windows": [round(r, 2) for r in rates],
                 "path_steps_per_sec_per_chip": round(steps_per_sec * BATCH * N_STEPS),

@@ -171,6 +171,13 @@ class PretrainConfig(YamlConfig):
     #   "gradient" = the reference objective (ref trainer.py:208-259): Adam on
     #                full-horizon stochastic rollout MSE at observation times.
     #   "auto"     = global when the full state is observed, gradient otherwise.
+    #
+    # NOTE (behavioral difference vs the reference): "global"/"auto" treats
+    # observed values as exact restart states (teacher forcing) and scores
+    # drift-only deterministic segments, i.e. it assumes observation noise is
+    # small relative to the signal. With large observation variance the
+    # segment objective partially fits that noise; set method="gradient" to
+    # recover the reference's exact pretrain behavior in that regime.
     method: str = "auto"
     # Global-method budget: phase-A sweep candidates and CEM rounds/elites.
     sweep_candidates: int = 524288

@@ -483,6 +483,11 @@ class VariationalInferenceTrainer:
         elite refitting. Deterministic rollouts (no injected noise) avoid the
         variance term of stochastic-endpoint MSE, which rewards contractive
         (wrong) dynamics.
+
+        Assumes low observation noise: observed values are used as exact
+        restart states, so with large observation variance the segment
+        objective partially fits noise — users in that regime should select
+        ``method="gradient"`` (see PretrainConfig).
         """
         d = self.sde.sde_param_dim
         n_steps = round(self.time_horizon / self.config.time_step)

@@ -53,11 +53,23 @@ def use_flash_attention(seq_len: int) -> bool:
     (profile_longgrid.py, v5e-1). ``VIFORSDES_DISABLE_FLASH=1`` force-disables
     (benchmark A/B knob).
     """
-    import os
-
     if os.environ.get("VIFORSDES_DISABLE_FLASH"):
         return False
     return seq_len > FLASH_SEQ_THRESHOLD and jax.default_backend() == "tpu"
+
+
+def _pick_block(s_padded: int) -> int:
+    """Largest tuned block size that divides the padded sequence length.
+
+    Both kernels require their block sizes to divide the (padded) sequence
+    length; padding is to a multiple of ``_FLASH_BLOCK`` (512), so 1024-wide
+    blocks (the tuned fast config) are only legal when the padded length is an
+    even multiple of 512. Grids padding to an odd multiple (e.g. S=1100 ->
+    1536) fall back to 512-wide blocks rather than crashing at trace time.
+    """
+    if s_padded <= 1024:
+        return s_padded
+    return 1024 if s_padded % 1024 == 0 else _FLASH_BLOCK
 
 
 def _reference_masked_attention(q, k, v, segment_ids, sm_scale):
@@ -97,7 +109,7 @@ def _splash_kernel(s_padded: int, num_heads: int, interpret: bool):
         splash_attention_mask as sm,
     )
 
-    blk = min(1024, s_padded)
+    blk = _pick_block(s_padded)
     mask = sm.MultiHeadMask([sm.FullMask((s_padded, s_padded))] * num_heads)
     # flash_sdpa may be tracing when the cache misses: keep the kernel's own
     # setup arrays concrete so nothing traced leaks into the cached object
@@ -179,8 +191,9 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
         # Tuned block sizes: the library defaults measured 56.6 ms fwd+bwd at
         # (32, 4, 2048, 64) on v5e-1 vs 13.1 ms with 1024-wide blocks
         # (benchmarks/profile_flash_sweep.py); 2048-wide fails to compile
-        # (VMEM). Scale down for shorter padded grids.
-        blk = min(1024, qh.shape[2])
+        # (VMEM). Scale down for shorter padded grids; the block must divide
+        # the padded length (odd 512-multiples fall back to 512-wide blocks).
+        blk = _pick_block(qh.shape[2])
         bs = fa.BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,

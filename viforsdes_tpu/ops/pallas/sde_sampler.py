@@ -265,7 +265,6 @@ def _bwd_kernel(
     d = spec.state_dim
     h = spec.hidden_dim
     L = spec.num_layers
-    L1 = max(L - 1, 1)
     dt = spec.time_step
     sqrt_dt = spec.time_step**0.5
     b_idx = pl.program_id(0)
