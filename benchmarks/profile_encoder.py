@@ -1,12 +1,12 @@
-"""Interleaved encoder micro-benchmark: XLA vs whole-block vs split kernels.
+"""Interleaved encoder micro-benchmark: XLA vs the fused whole-stack kernel.
 
 Times encoder forward AND forward+backward at the OU headline shape
 (B=128, S=101, E=256, 4 heads, depth 8) in ONE process, interleaving
 measurement windows round-robin so tunnel drift hits all variants equally
-(BASELINE.md measurement discipline). Also times the full train step for the
-XLA and split paths.
+(BASELINE.md measurement discipline). Can also time the full train step per
+mode (--full-step).
 
-Usage:  python benchmarks/profile_encoder.py [--modes off,split] [--iters 30]
+Usage:  python benchmarks/profile_encoder.py [--modes off,on] [--iters 30]
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def build_encoder(mode: str, *, hidden=256, heads=4, depth=8):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", default="off,split")
+    ap.add_argument("--modes", default="off,on")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--batch", type=int, default=128)

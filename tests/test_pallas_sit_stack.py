@@ -115,7 +115,7 @@ def test_encoder_level_stack_parity():
             obs_times=np.asarray([0.0, 1.0, 2.0]), time_horizon=2.0, time_step=0.5,
         )
 
-    enc_std, enc_stack = build("off"), build("stack")
+    enc_std, enc_stack = build("off"), build("on")
     params = enc_std.init(jax.random.key(0))
     params = jax.tree.map(
         lambda p: p + 0.05 * jax.random.normal(jax.random.key(7), p.shape), params

@@ -85,14 +85,12 @@ class EncoderConfig(YamlConfig):
     num_heads: int = 4
     depth: int = 4
     mlp_ratio: float = 8 / 3
-    # Fused Pallas SiT kernels:
+    # Fused Pallas SiT encoder kernel (ops/pallas/sit_stack.py):
     #   "auto"  = currently the XLA path everywhere: interleaved measurement
-    #             (profile_encoder.py, v5e-1) has the per-block kernel
-    #             families slower than XLA (split 13.4 ms vs XLA 9.1 ms
-    #             fwd+bwd); flipped to a kernel family only when one wins;
-    #   "stack" = whole-stack kernel (all blocks in one Pallas call, force);
-    #   "split" = attention-half + MLP-half kernels (force);
-    #   "on"    = whole-block kernel (force);
+    #             (profile_encoder.py, v5e-1) has the fused stack slower than
+    #             XLA (14.5 vs 9.1 ms fwd+bwd at the headline shape); flips
+    #             to the kernel only when it wins end-to-end;
+    #   "on"    = force the whole-stack kernel (all blocks in one Pallas call);
     #   "off"   = pure XLA path.
     fused_blocks: str = "auto"
 
@@ -113,10 +111,8 @@ class EncoderConfig(YamlConfig):
     @field_validator("fused_blocks")
     @classmethod
     def validate_fused(cls, v: str) -> str:
-        if v not in ("auto", "on", "off", "split", "stack"):
-            raise ValueError(
-                "fused_blocks must be 'auto', 'on', 'off', 'split' or 'stack'"
-            )
+        if v not in ("auto", "on", "off"):
+            raise ValueError("fused_blocks must be 'auto', 'on' or 'off'")
         return v
 
     @model_validator(mode="after")

@@ -70,7 +70,6 @@ class ObservationContextEncoder:
             end=max(_ROPE_MIN_LEN, n_grid),
         ).slice_to(n_grid)
         self._fused_blocks: list | None = None
-        self._fused_blocks_mode: str | None = None
 
     @classmethod
     def build(
@@ -114,159 +113,73 @@ class ObservationContextEncoder:
 
     # ------------------------------------------------------- fused SiT path
 
-    def _get_fused_blocks(self, mode: str) -> list:
-        if self._fused_blocks is None or self._fused_blocks_mode != mode:
+    def _get_fused_blocks(self) -> list:
+        if self._fused_blocks is None:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
             # interpret mode (CPU) has no MXU: use exact fp32 so the fused
             # path matches the XLA path bit-for-bit
             mxu = "fp32" if interpret else "bf16"
-            if mode == "stack":
-                from viforsdes_tpu.ops.pallas.sit_stack import (
-                    FusedSiTStack,
-                    SiTStackSpec,
-                )
+            from viforsdes_tpu.ops.pallas.sit_stack import FusedSiTStack, SiTStackSpec
 
-                # Batch tiles scale down with grid length (the per-tile token
-                # rows and attention probs must stay within VMEM alongside the
-                # resident stacked weights).
-                sp = ((self.n_grid + 7) // 8) * 8
-                bt_fwd = max(1, 832 // sp)
-                bt_bwd = max(1, 416 // sp)
-                self._fused_blocks = [
-                    FusedSiTStack(
-                        SiTStackSpec(
-                            seq_len=self.n_grid,
-                            embed_dim=cfg.hidden_dim,
-                            num_heads=cfg.num_heads,
-                            mlp_hidden=self.sit_config.mlp_hidden_dim,
-                            depth=cfg.depth,
-                            bt_fwd=bt_fwd,
-                            bt_bwd=bt_bwd,
-                            mxu_dtype=mxu,
-                            interpret=interpret,
-                        ),
-                        self.rotary.cos,
-                        self.rotary.sin,
-                    )
-                ]
-            elif mode == "split":
-                from viforsdes_tpu.ops.pallas.sit_split import (
-                    FusedSplitSiTBlock,
-                    SplitBlockSpec,
+            # Batch tiles scale down with grid length (the per-tile token
+            # rows and attention probs must stay within VMEM alongside the
+            # resident stacked weights).
+            sp = ((self.n_grid + 7) // 8) * 8
+            bt_fwd = max(1, 832 // sp)
+            bt_bwd = max(1, 416 // sp)
+            self._fused_blocks = [
+                FusedSiTStack(
+                    SiTStackSpec(
+                        seq_len=self.n_grid,
+                        embed_dim=cfg.hidden_dim,
+                        num_heads=cfg.num_heads,
+                        mlp_hidden=self.sit_config.mlp_hidden_dim,
+                        depth=cfg.depth,
+                        bt_fwd=bt_fwd,
+                        bt_bwd=bt_bwd,
+                        mxu_dtype=mxu,
+                        interpret=interpret,
+                    ),
+                    self.rotary.cos,
+                    self.rotary.sin,
                 )
-
-                # Batch tiles scale down with the grid length so the tile's
-                # token rows (and the [S, S] attention probs held in VMEM)
-                # stay within budget; backward holds ~2x the live values.
-                sp = ((self.n_grid + 7) // 8) * 8
-                bt_fwd = max(1, 832 // sp)
-                bt_bwd = max(1, 416 // sp)
-                self._fused_blocks = [
-                    FusedSplitSiTBlock(
-                        SplitBlockSpec(
-                            seq_len=self.n_grid,
-                            embed_dim=cfg.hidden_dim,
-                            num_heads=cfg.num_heads,
-                            mlp_hidden=self.sit_config.mlp_hidden_dim,
-                            residual_v=idx > 0,
-                            bt_attn_fwd=bt_fwd,
-                            bt_attn_bwd=bt_bwd,
-                            bt_mlp_fwd=bt_fwd,
-                            bt_mlp_bwd=bt_bwd,
-                            mxu_dtype=mxu,
-                            interpret=interpret,
-                        ),
-                        self.rotary.cos,
-                        self.rotary.sin,
-                    )
-                    for idx in range(cfg.depth)
-                ]
-            else:
-                from viforsdes_tpu.ops.pallas.sit_block import (
-                    FusedSiTBlock,
-                    SiTBlockSpec,
-                )
-
-                self._fused_blocks = [
-                    FusedSiTBlock(
-                        SiTBlockSpec(
-                            seq_len=self.n_grid,
-                            embed_dim=cfg.hidden_dim,
-                            num_heads=cfg.num_heads,
-                            mlp_hidden=self.sit_config.mlp_hidden_dim,
-                            residual_v=idx > 0,
-                            mxu_dtype=mxu,
-                            interpret=interpret,
-                        ),
-                        self.rotary.cos,
-                        self.rotary.sin,
-                    )
-                    for idx in range(cfg.depth)
-                ]
-            self._fused_blocks_mode = mode
+            ]
         return self._fused_blocks
 
-    def _sit_fused(self, params: dict, h: Array, cond: Array, mode: str) -> Array:
-        """Fused-kernel SiT: input_proj -> fused blocks -> output_proj.
+    def _sit_fused(self, params: dict, h: Array, cond: Array) -> Array:
+        """Fused whole-stack SiT: input_proj -> FusedSiTStack -> output_proj.
 
         Per block, the adaLN-Zero projection (one [B,C]@[C,6E] matmul whose
         output is exactly the (s1|b1|g1|s2|b2|g2) layout the kernel wants)
-        stays in XLA; everything else runs inside the kernel(s)."""
+        stays in XLA; everything else runs inside the one stacked kernel."""
+        from viforsdes_tpu.ops.pallas.sit_stack import pack_stack_weights
+
         sit_p = params["sit"]
-        blocks = self._get_fused_blocks(mode)
+        stack = self._get_fused_blocks()[0]
         tokens = linear(sit_p["input_proj"], h)
-
-        if mode == "stack":
-            from viforsdes_tpu.ops.pallas.sit_stack import pack_stack_weights
-
-            silu_cond = jax.nn.silu(cond)
-            cond_all = jnp.concatenate(
-                [linear(bp["cond"]["net"], silu_cond) for bp in sit_p["blocks"]],
-                axis=-1,
-            )
-            kw = pack_stack_weights(blocks[0].spec, sit_p["blocks"])
-            tokens = blocks[0](kw, tokens, cond_all)
-            return linear(sit_p["output_proj"], tokens)
-
-        if mode == "split":
-            from viforsdes_tpu.ops.pallas.sit_split import pack_split_weights as pack
-        else:
-            from viforsdes_tpu.ops.pallas.sit_block import pack_block_weights as pack
-
-        v0 = jnp.zeros_like(tokens)
-        for idx, bp in enumerate(sit_p["blocks"]):
-            cond_vec = linear(bp["cond"]["net"], jax.nn.silu(cond))
-            kw = pack(blocks[idx].spec, bp)
-            tokens, v_state = blocks[idx](kw, tokens, cond_vec, v0)
-            if idx == 0:
-                v0 = v_state
+        silu_cond = jax.nn.silu(cond)
+        cond_all = jnp.concatenate(
+            [linear(bp["cond"]["net"], silu_cond) for bp in sit_p["blocks"]],
+            axis=-1,
+        )
+        kw = pack_stack_weights(stack.spec, sit_p["blocks"])
+        tokens = stack(kw, tokens, cond_all)
         return linear(sit_p["output_proj"], tokens)
 
-    # Above this grid length the fused kernels' whole-sequence attention
-    # ([S, S] probabilities resident in VMEM) no longer fits; long grids fall
-    # back to the XLA path (remat'd, SURVEY §5.7) until a blockwise/flash
-    # variant exists.
-    _FUSED_MAX_GRID = 512
+    def _use_fused(self) -> bool:
+        """Resolve fused_blocks config ("auto" | "on" | "off") to a decision.
 
-    def _fused_mode(self) -> str | None:
-        """Resolve fused_blocks config to a kernel family (or None for XLA).
-
-        "auto" resolves to the XLA path: interleaved same-process measurement
-        (benchmarks/profile_encoder.py, v5e-1, OU headline shape) has the
-        split kernels at 13.4 ms fwd+bwd vs XLA's 9.1 ms — neither fused
-        family currently pays for itself. Both stay available explicitly
-        ("on" = whole-block, "split") and gradient-parity tested; flip "auto"
-        only when a kernel wins an interleaved measurement.
+        "on" = the whole-stack fused kernel (ops/pallas/sit_stack.py), the
+        single family kept after round 2: of three fused-encoder generations
+        built and measured, none beat XLA end-to-end at the headline shape
+        (stack: 14.5 vs 9.1 ms fwd+bwd, benchmarks/profile_encoder.py,
+        interleaved), so "auto" resolves to the XLA path. The stack kernel
+        stays available explicitly and gradient-parity tested; flip "auto"
+        only when it wins an interleaved end-to-end measurement.
         """
         mode = getattr(self.config, "fused_blocks", "off")
-        if mode == "auto":
-            return None
-        if mode == "on":
-            return "block"
-        if mode in ("split", "stack"):
-            return mode
-        return None
+        return mode == "on"
 
     def _cond(self, params: dict, sde_parameters: Array) -> Array:
         """3-layer SiLU MLP theta -> cond (ref ``encoder.py:34-40``)."""
@@ -297,10 +210,9 @@ class ObservationContextEncoder:
         # run the adaLN projection once per sample and broadcast over tokens.
         cond = self._cond(params, sde_parameters)
 
-        fused_mode = self._fused_mode()
-        if fused_mode is not None:
+        if self._use_fused():
             context = self._sit_fused(
-                params, h.astype(compute_dtype), cond.astype(compute_dtype), fused_mode
+                params, h.astype(compute_dtype), cond.astype(compute_dtype)
             )
         else:
             context = sit(

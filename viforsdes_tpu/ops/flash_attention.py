@@ -39,9 +39,7 @@ _FLASH_BLOCK = 512
 
 # Below this grid length the dense XLA path is faster (probs fit comfortably
 # and the kernel's fixed overhead + padding waste dominate); above it, probs
-# spill to HBM and blockwise wins. 512 also matches the fused split-kernel
-# ceiling (encoder._FUSED_MAX_GRID), so exactly one of the three attention
-# paths is selected for any grid.
+# spill to HBM and blockwise wins.
 FLASH_SEQ_THRESHOLD = 512
 
 

@@ -1,43 +1,33 @@
-"""Fused Pallas TPU kernel for one SiT encoder block (forward + backward).
+"""Shared in-kernel math for the fused SiT encoder kernels.
 
-One kernel evaluates the whole block — LayerNorm -> adaLN affine -> attention
-(QK-RMSNorm, RoPE, SDPA, sigmoid output gate, residual-value mixing) -> gated
-residual add -> LayerNorm -> adaLN affine -> SwiGLU -> gated residual add —
-with the batch tiled over a sequential grid and everything else resident in
-VMEM. Profiling (BASELINE.md) showed the XLA-compiled block is overhead-bound
-(~5x above its FLOP roofline) because each of its ~30 small ops round-trips
-activations through HBM; fusing removes those round trips.
+These are the forward/backward "halves" of one SiT block — LayerNorm ->
+adaLN affine -> attention (QK-RMSNorm, RoPE, SDPA, sigmoid output gate,
+residual-value mixing) -> gated residual add (attention half), and
+LayerNorm -> adaLN affine -> SwiGLU -> gated residual add (MLP half) —
+written as plain fp32/2-D jnp functions callable from inside a Pallas
+kernel body. The one consumer is ``sit_stack.py`` (the whole-stack fused
+kernel, the single opt-in fused-encoder family kept after round 2's
+measurements; the per-block and split-kernel wrappers that also used these
+cores measured slower than XLA end-to-end and were pruned — see BASELINE.md).
 
-Layout: all token streams travel FLATTENED as ``[B*S, E]`` (sample-major) and
-the kernel works on 2-D tiles ``[Bt*S, E]``. Mosaic lowers 2-D vectors and
-plain 2-D matmuls far more compactly than 3-D batched ops (the 3-D
-formulation OOM'd the compiler); anything per-sample (adaLN modulation,
-attention, gradient reductions) uses static row slices ``[b*S:(b+1)*S]``.
-
-Residual strategy: NOTHING extra is stashed. The backward recomputes the
-block forward from its inputs (the block input x is the residual stream,
-already materialized in HBM as the previous block's output), then runs the
-hand-derived backward — attention probabilities included (cheap at S ~ 100).
-The adaLN cond branches (scale/shift/gate per branch, [B, 6E]) are computed
-outside (one matmul per block, hoisted) and their gradients are returned, so
-the kernel composes with the outside adaLN-Zero projection under jax.grad.
+Layout contract: token streams travel FLATTENED as ``[Bt*S_pad, E]``
+(sample-major, rows zero-padded per sample to the sublane quantum); anything
+per-sample (adaLN modulation, attention, gradient reductions) uses static row
+slices ``[b*S:(b+1)*S]``. Mosaic lowers 2-D vectors and plain 2-D matmuls far
+more compactly than 3-D batched ops (the 3-D formulation OOM'd the compiler).
 
 Math matches ops/attention.py, ops/sit.py, ops/norms.py exactly in fp32
-(tests/test_pallas_sit_block.py): LayerNorm uses E[x^2]-E[x]^2 variance with
+(tests/test_pallas_sit_stack.py): LayerNorm uses E[x^2]-E[x]^2 variance with
 fp32 stats; gate scores come from the MODULATED input a1 (ref
 ``attn.py:108-111``); value state exported/mixed per ``sit.py:144-145``.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -267,15 +257,6 @@ def _mlp_half_core(spec, bt, x2, cond, w, *, part0=3):
     )
 
 
-def _forward_core(spec, x, cond, v0, cos_t, sin_t, w):
-    """Shared full-block forward, fp32, 2-D. x/v0: [Bt*S, E]; cond: [Bt, 6, E];
-    cos_t/sin_t: [Bt*S, Dh/2] (rope tables tiled per sample)."""
-    bt = spec.block_bt
-    f = _attn_half_core(spec, bt, x, cond, v0, cos_t, sin_t, w)
-    f.update(_mlp_half_core(spec, bt, f["x2"], cond, w, part0=3))
-    return f
-
-
 # ------------------------------------------------------ backward halves
 
 
@@ -411,296 +392,3 @@ def _attn_half_bwd(spec, bt, f, cond, x, v0, d_x2, d_vout, w, cos_t, sin_t):
         "w_g": d_w_g, "b_g": d_b_g, "lam": d_lam.reshape(1, 1),
     }
     return d_x, (d_s1, d_b1, d_g1), d_v0, d_w
-
-
-_WEIGHT_NAMES = ["w_qkv", "b_qkv", "w_o", "b_o", "w_g", "b_g", "w_m1", "b_m1", "w_m2", "b_m2", "lam"]
-
-
-def _weights_from_refs(spec, refs):
-    w = {}
-    for name, ref in zip(_WEIGHT_NAMES, refs):
-        if name == "lam":
-            w[name] = ref[0, 0] if spec.residual_v else None
-        elif name.startswith("b_"):
-            w[name] = ref[0, :]
-        else:
-            w[name] = ref[:]
-    return w
-
-
-# =============================================================== forward ====
-
-
-def _fwd_kernel(spec: SiTBlockSpec, x_ref, cond_ref, v0_ref, cos_ref, sin_ref, *refs):
-    weight_refs = refs[: len(_WEIGHT_NAMES)]
-    x_out_ref, v_out_ref = refs[len(_WEIGHT_NAMES) :]
-
-    _set_mxu_dtype(spec)
-    w = _weights_from_refs(spec, weight_refs)
-    x = x_ref[:].astype(jnp.float32)
-    cond = cond_ref[:].astype(jnp.float32)  # [Bt, 6, E]
-    v0 = v0_ref[:].astype(jnp.float32) if spec.residual_v else None
-    cos_t = cos_ref[:]
-    sin_t = sin_ref[:]
-
-    f = _forward_core(spec, x, cond, v0, cos_t, sin_t, w)
-    x_out_ref[:] = f["x_out"].astype(x_out_ref.dtype)
-    v_out_ref[:] = f["v_mixed"].astype(v_out_ref.dtype)
-
-
-# =============================================================== backward ===
-
-
-def _bwd_kernel(
-    spec: SiTBlockSpec,
-    x_ref,
-    cond_ref,
-    v0_ref,
-    cos_ref,
-    sin_ref,
-    *refs,
-):
-    n_w = len(_WEIGHT_NAMES)
-    weight_refs = refs[:n_w]
-    d_xout_ref, d_vout_ref = refs[n_w : n_w + 2]
-    out_refs = refs[n_w + 2 :]
-    (d_x_ref, d_cond_ref, d_v0_ref, *d_w_refs) = out_refs
-
-    e = spec.embed_dim
-    dh = spec.head_dim
-    nh = spec.num_heads
-    s = spec.seq_len
-    sp = spec.s_pad
-    bt = spec.block_bt
-    bt_idx = pl.program_id(0)
-
-    _set_mxu_dtype(spec)
-
-    @pl.when(bt_idx == 0)
-    def _init():
-        for r in d_w_refs:
-            r[:] = jnp.zeros_like(r)
-
-    w = _weights_from_refs(spec, weight_refs)
-    x = x_ref[:].astype(jnp.float32)
-    cond = cond_ref[:].astype(jnp.float32)  # [Bt, 6, E]
-    v0 = v0_ref[:].astype(jnp.float32) if spec.residual_v else None
-    cos_t = cos_ref[:]
-    sin_t = sin_ref[:]
-
-    f = _forward_core(spec, x, cond, v0, cos_t, sin_t, w)
-
-    d_xout = d_xout_ref[:].astype(jnp.float32)
-    d_vout = d_vout_ref[:].astype(jnp.float32)
-
-    d_x2, (d_s2, d_b2, d_g2), d_w_mlp = _mlp_half_bwd(
-        spec, bt, f, cond, d_xout, w, part0=3
-    )
-    d_x, (d_s1, d_b1, d_g1), d_v0, d_w_attn = _attn_half_bwd(
-        spec, bt, f, cond, x, v0, d_x2, d_vout, w, cos_t, sin_t
-    )
-
-    # ---- write outputs ------------------------------------------------------
-    d_x_ref[:] = d_x.astype(d_x_ref.dtype)
-    for b in range(bt):
-        d_cond_ref[b] = jnp.concatenate(
-            [d_s1[b], d_b1[b], d_g1[b], d_s2[b], d_b2[b], d_g2[b]], axis=0
-        ).astype(d_cond_ref.dtype)
-    d_v0_ref[:] = d_v0.astype(d_v0_ref.dtype)
-
-    d_w_all = {**d_w_attn, **d_w_mlp}
-    for r, name in zip(d_w_refs, _WEIGHT_NAMES):
-        r[:] += d_w_all[name]
-
-
-# ====================================================== pallas_call setup ==
-
-
-def _const(shape):
-    nd = len(shape)
-    return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
-
-
-def _tok_tile(bt, sp, e):
-    """Flattened token stream [B*S_pad, E], block (Bt*S_pad, E)."""
-    return pl.BlockSpec((bt * sp, e), lambda b: (b, 0), memory_space=pltpu.VMEM)
-
-
-def _cond_tile(bt, e):
-    """adaLN branch rows travel as [B, 6, E]: each branch vector is its own
-    row so in-kernel slices start at lane offset 0 (Mosaic cannot broadcast a
-    lane-offset slice)."""
-    return pl.BlockSpec((bt, 6, e), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-
-
-def _weight_shapes(spec: SiTBlockSpec):
-    e, dh, m = spec.embed_dim, spec.head_dim, spec.mlp_hidden
-    return [
-        (e, 3 * e), (1, 3 * e),  # qkv
-        (e, e), (1, e),          # out
-        (e, dh), (1, dh),        # gate
-        (e, 2 * m), (1, 2 * m),  # mlp in
-        (m, e), (1, e),          # mlp out
-        (1, 1),                  # lam
-    ]
-
-
-class FusedSiTBlock:
-    """custom_vjp fused block: ``(weights, x [B,S,E], cond [B,6E], v0) ->
-    (x_out [B,S,E], v_state [B,S,E])``. cond rows are the concatenated adaLN
-    branch vectors (s1|b1|g1|s2|b2|g2); v state uses the flat [B,S,E] layout
-    (head h occupies columns [h*Dh, (h+1)*Dh))."""
-
-    def __init__(self, spec: SiTBlockSpec, rope_cos: Array, rope_sin: Array) -> None:
-        self.spec = spec
-        # rope tables padded to s_pad rows and tiled per sample: [Bt*S_pad, Dh/2].
-        # Built with numpy so lazily constructing the block inside a traced
-        # function cannot leak tracers (self must hold concrete arrays).
-        pad = spec.s_pad - spec.seq_len
-        cos = np.pad(np.asarray(rope_cos, dtype=np.float32), ((0, pad), (0, 0)))
-        sin = np.pad(np.asarray(rope_sin, dtype=np.float32), ((0, pad), (0, 0)))
-        # stored as PLAIN numpy: even jnp.asarray under an active trace
-        # yields a tracer, which must not be captured on self
-        self._cos = np.tile(cos, (spec.block_bt, 1))
-        self._sin = np.tile(sin, (spec.block_bt, 1))
-
-        @jax.custom_vjp
-        def call(kernel_weights, x, cond, v0):
-            return self._forward(kernel_weights, x, cond, v0)
-
-        def call_fwd(kernel_weights, x, cond, v0):
-            outs = self._forward(kernel_weights, x, cond, v0)
-            return outs, (kernel_weights, x, cond, v0)
-
-        def call_bwd(res, cots):
-            return self._backward(res, cots)
-
-        call.defvjp(call_fwd, call_bwd)
-        self._call = call
-
-    def __call__(self, kernel_weights: tuple, x: Array, cond: Array, v0: Array):
-        return self._call(kernel_weights, x, cond, v0)
-
-    # ------------------------------------------------------------- plumbing
-
-    def _pad_flatten(self, arrs, batch):
-        """[B, S, E] -> padded flat [pad_b*S_pad, E]; [B, 6E] -> [pad_b, 6, E]."""
-        spec = self.spec
-        bt = spec.block_bt
-        pad_b = -(-batch // bt) * bt
-        row_pad = spec.s_pad - spec.seq_len
-        out = []
-        for a in arrs:
-            if a.ndim == 3:  # [B, S, E] token stream
-                a = jnp.pad(
-                    a, ((0, pad_b - batch), (0, row_pad), (0, 0))
-                ) if (pad_b != batch or row_pad) else a
-                out.append(a.reshape(pad_b * spec.s_pad, a.shape[2]))
-            else:  # [B, 6E] cond rows -> [B, 6, E]
-                if pad_b != batch:
-                    a = jnp.pad(a, ((0, pad_b - batch), (0, 0)))
-                out.append(a.reshape(pad_b, 6, a.shape[1] // 6))
-        return out, pad_b
-
-    def _forward(self, kw, x, cond, v0):
-        spec = self.spec
-        batch, s, e = x.shape
-        (xf, condf, v0f), pad_b = self._pad_flatten([x, cond, v0], batch)
-        sp = spec.s_pad
-        grid = (pad_b // spec.block_bt,)
-        kernel = functools.partial(_fwd_kernel, spec)
-        x_out, v_out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                _tok_tile(spec.block_bt, sp, e),
-                _cond_tile(spec.block_bt, e),
-                _tok_tile(spec.block_bt, sp, e),
-                _const((spec.block_bt * sp, spec.head_dim // 2)),
-                _const((spec.block_bt * sp, spec.head_dim // 2)),
-                *[_const(shape) for shape in _weight_shapes(spec)],
-            ],
-            out_specs=[_tok_tile(spec.block_bt, sp, e), _tok_tile(spec.block_bt, sp, e)],
-            out_shape=[
-                jax.ShapeDtypeStruct((pad_b * sp, e), x.dtype),
-                jax.ShapeDtypeStruct((pad_b * sp, e), x.dtype),
-            ],
-            interpret=spec.interpret,
-        )(xf, condf, v0f, self._cos, self._sin, *kw)
-        x_out = x_out.reshape(pad_b, sp, e)[:batch, :s]
-        v_out = v_out.reshape(pad_b, sp, e)[:batch, :s]
-        return x_out, v_out
-
-    def _backward(self, res, cots):
-        spec = self.spec
-        kw, x, cond, v0 = res
-        d_xout, d_vout = cots
-        batch, s, e = x.shape
-        (xf, condf, v0f, d_xoutf, d_voutf), pad_b = self._pad_flatten(
-            [x, cond, v0, d_xout, d_vout], batch
-        )
-        sp = spec.s_pad
-        grid = (pad_b // spec.block_bt,)
-        w_shapes = _weight_shapes(spec)
-        kernel = functools.partial(_bwd_kernel, spec)
-        results = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                _tok_tile(spec.block_bt, sp, e),
-                _cond_tile(spec.block_bt, e),
-                _tok_tile(spec.block_bt, sp, e),
-                _const((spec.block_bt * sp, spec.head_dim // 2)),
-                _const((spec.block_bt * sp, spec.head_dim // 2)),
-                *[_const(shape) for shape in w_shapes],
-                _tok_tile(spec.block_bt, sp, e),
-                _tok_tile(spec.block_bt, sp, e),
-            ],
-            out_specs=[
-                _tok_tile(spec.block_bt, sp, e),
-                _cond_tile(spec.block_bt, e),
-                _tok_tile(spec.block_bt, sp, e),
-                *[_const(shape) for shape in w_shapes],
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((pad_b * sp, e), jnp.float32),
-                jax.ShapeDtypeStruct((pad_b, 6, e), jnp.float32),
-                jax.ShapeDtypeStruct((pad_b * sp, e), jnp.float32),
-                *[jax.ShapeDtypeStruct(shape, jnp.float32) for shape in w_shapes],
-            ],
-            interpret=spec.interpret,
-        )(xf, condf, v0f, self._cos, self._sin, *kw, d_xoutf, d_voutf)
-
-        d_x = results[0].reshape(pad_b, sp, e)[:batch, :s]
-        d_cond = results[1][:batch].reshape(batch, 6 * e)
-        d_v0 = results[2].reshape(pad_b, sp, e)[:batch, :s]
-        d_kw = tuple(results[3:])
-        if not spec.residual_v:
-            d_v0 = jnp.zeros_like(d_v0)
-        return (d_kw, d_x, d_cond, d_v0)
-
-
-def pack_block_weights(spec: SiTBlockSpec, params: dict) -> tuple:
-    """Pack an ops.sit block param dict into the kernel operand tuple."""
-    attn = params["attn"]
-    mlp = params["mlp"]
-    lam = attn.get("v_residual_lambda")
-    lam_arr = (
-        jnp.asarray(lam, jnp.float32).reshape(1, 1)
-        if lam is not None
-        else jnp.zeros((1, 1), jnp.float32)
-    )
-    f32 = lambda a: a.astype(jnp.float32)
-    return (
-        f32(attn["qkv_proj"]["w"]),
-        f32(attn["qkv_proj"]["b"]).reshape(1, -1),
-        f32(attn["out_proj"]["w"]),
-        f32(attn["out_proj"]["b"]).reshape(1, -1),
-        f32(attn["gate_proj"]["w"]),
-        f32(attn["gate_proj"]["b"]).reshape(1, -1),
-        f32(mlp["input_proj"]["w"]),
-        f32(mlp["input_proj"]["b"]).reshape(1, -1),
-        f32(mlp["output_proj"]["w"]),
-        f32(mlp["output_proj"]["b"]).reshape(1, -1),
-        lam_arr,
-    )

@@ -1,8 +1,9 @@
 """Whole-stack fused SiT kernel: ALL encoder blocks in one Pallas call.
 
-Third-generation encoder kernel (after the whole-block kernel in
-``sit_block.py`` and the split attention/MLP kernels in ``sit_split.py``,
-both of which measured at or below XLA speed). The insight from interleaved
+Third-generation encoder kernel, and after round 2's measurements the SINGLE
+retained fused-encoder family (the earlier per-block and split attention/MLP
+kernel generations both measured at or below XLA speed end-to-end and were
+pruned; see BASELINE.md). The insight from interleaved
 profiling (profile_encoder.py): the XLA block is memory-bound — every one of
 its ~30 ops round-trips [B, S, E] activations through HBM, and the per-block
 kernels still pay the inter-block streams. Fusing the ENTIRE stack removes
@@ -22,8 +23,8 @@ all inter-block HBM traffic:
   (constant index maps + init at tile 0), the same atomics-free pattern as
   the sampler BPTT kernel (ops/pallas/sde_sampler.py).
 
-Per-block math is SHARED with the block kernel (``_attn_half_core`` /
-``_mlp_half_core`` and their backwards), which is tested against the XLA path.
+Per-block math lives in ``sit_cores.py`` (``_attn_half_core`` /
+``_mlp_half_core`` and their backwards), tested against the XLA path.
 Parity target for the fused ops: reference ``primitives/attn.py:106`` +
 ``primitives/sit.py:162-186``.
 
@@ -44,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from viforsdes_tpu.ops.pallas.sit_block import (
+from viforsdes_tpu.ops.pallas.sit_cores import (
     SiTBlockSpec,
     _attn_half_bwd,
     _attn_half_core,
