@@ -12,11 +12,17 @@ initialized) and request 8 virtual CPU devices before the CPU client spins up.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("VIFORSDES_TEST_TPU") == "1":
+    # Hardware tier: leave the axon TPU backend registered so the
+    # @skipif(backend != "tpu") tests actually execute on the chip.
+    # Usage: VIFORSDES_TEST_TPU=1 pytest tests/test_flash_attention.py
+    import jax  # noqa: F401
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

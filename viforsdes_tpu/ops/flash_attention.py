@@ -198,9 +198,24 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
             block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
             block_q_dq=blk,
         )
-        out = fa.flash_attention(
-            qh, kh, vh, segment_ids=segment_ids, sm_scale=sm_scale, block_sizes=bs
-        )
+        # The dq backward runs through the fixed fork (ops/pallas/
+        # flash_fixed.py): the library broadcasts `di` to block_k_major width
+        # before launch but the kernel reads only MIN_BLOCK_SIZE columns —
+        # 13.5 ms/step of never-read HBM writes at the Lorenz shape
+        # (round-3 trace, BASELINE.md). VIFORSDES_FLASH_DQFIX=0 restores the
+        # library path (A/B knob).
+        if os.environ.get("VIFORSDES_FLASH_DQFIX", "1") == "1":
+            from viforsdes_tpu.ops.pallas.flash_fixed import flash_attention_dqfix
+
+            out = flash_attention_dqfix(
+                qh, kh, vh, segment_ids=segment_ids, sm_scale=sm_scale,
+                block_sizes=bs,
+            )
+        else:
+            out = fa.flash_attention(
+                qh, kh, vh, segment_ids=segment_ids, sm_scale=sm_scale,
+                block_sizes=bs,
+            )
     else:
         out = impl(qh, kh, vh, segment_ids, sm_scale)
 
