@@ -129,7 +129,14 @@ def _summarize(name, posterior, param_names, n_iterations, elapsed, true_params=
     return result
 
 
-def run_ou_synthetic(n_iterations: int, seed: int = 11, name: str = "ou_synthetic") -> dict:
+def run_ou_synthetic(
+    n_iterations: int,
+    seed: int = 11,
+    name: str = "ou_synthetic",
+    *,
+    iw_samples: int = 1,
+    full_cov: bool = False,
+) -> dict:
     """OU headline shape with synthetic ground truth (VERDICT round-1 item 3):
     the reference's 6 hand-fixed observations have no generating theta, so
     recovery is unfalsifiable there; here observations are simulated from a
@@ -156,7 +163,10 @@ def run_ou_synthetic(n_iterations: int, seed: int = 11, name: str = "ou_syntheti
         prior=vt.Prior(type=vt.PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
         time_horizon=5.0,
         config=vt.InferenceConfig(
-            training=vt.TrainingConfig(time_step=0.05, batch_size=128, n_iterations=n_iterations),
+            training=vt.TrainingConfig(
+                time_step=0.05, batch_size=128, n_iterations=n_iterations,
+                iw_samples=iw_samples, theta_full_covariance=full_cov,
+            ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=64, num_layers=2),
             sde_param_positive_dims=[0, 2],
@@ -172,7 +182,9 @@ def run_ou_synthetic(n_iterations: int, seed: int = 11, name: str = "ou_syntheti
     )
 
 
-def run_coverage(n_iterations: int, n_seeds: int = 5) -> dict:
+def run_coverage(
+    n_iterations: int, n_seeds: int = 5, *, iw_samples: int = 1, full_cov: bool = False
+) -> dict:
     """Empirical CI calibration across seeds (round-2 verdict task 4).
 
     Each seed simulates its own OU trajectory from the same true theta and
@@ -184,7 +196,12 @@ def run_coverage(n_iterations: int, n_seeds: int = 5) -> dict:
     param_names = ["kappa", "mu", "sigma"]
     runs = []
     for i in range(n_seeds):
-        runs.append(run_ou_synthetic(n_iterations, seed=11 + 37 * i, name=f"coverage_seed{i}"))
+        runs.append(
+            run_ou_synthetic(
+                n_iterations, seed=11 + 37 * i, name=f"coverage_seed{i}",
+                iw_samples=iw_samples, full_cov=full_cov,
+            )
+        )
     truth = runs[0]["true_params"]
     coverage_2s = {}
     coverage_90 = {}
@@ -199,6 +216,8 @@ def run_coverage(n_iterations: int, n_seeds: int = 5) -> dict:
         "name": "coverage",
         "n_seeds": n_seeds,
         "n_iterations": n_iterations,
+        "iw_samples": iw_samples,
+        "theta_full_covariance": full_cov,
         "true_params": truth,
         "coverage_2sigma": coverage_2s,
         "coverage_q05_q95": coverage_90,
@@ -221,7 +240,14 @@ def run_coverage(n_iterations: int, n_seeds: int = 5) -> dict:
     return result
 
 
-def run_highdim(n_iterations: int) -> dict:
+def run_highdim(
+    n_iterations: int,
+    *,
+    iw_samples: int = 1,
+    full_cov: bool = False,
+    batch_size: int = 1024,
+    name: str = "highdim",
+) -> dict:
     """Ladder config 5 quality (single chip; DP mechanics covered by
     tests/test_parallel.py and dryrun_multichip): OU d=32, recovery of the
     shared (kappa, mu, sigma) against the generating theta."""
@@ -244,8 +270,9 @@ def run_highdim(n_iterations: int) -> dict:
         time_horizon=5.0,
         config=vt.InferenceConfig(
             training=vt.TrainingConfig(
-                time_step=0.05, batch_size=1024, n_iterations=n_iterations,
+                time_step=0.05, batch_size=batch_size, n_iterations=n_iterations,
                 theta_warmup_steps=500,
+                iw_samples=iw_samples, theta_full_covariance=full_cov,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=128, num_layers=2),
@@ -258,7 +285,7 @@ def run_highdim(n_iterations: int) -> dict:
     )
     elapsed = time.perf_counter() - t0
     return _summarize(
-        "highdim", posterior, ["kappa", "mu", "sigma"], n_iterations, elapsed,
+        name, posterior, ["kappa", "mu", "sigma"], n_iterations, elapsed,
         true_params=true_theta,
     )
 
@@ -270,6 +297,9 @@ def run_lorenz(
     head_dim: int = 64,
     head_layers: int = 2,
     obs_variance: float = 1.0,
+    iw_samples: int = 1,
+    full_cov: bool = False,
+    batch_size: int = 32,
     name: str = "lorenz",
 ) -> dict:
     """Ladder 3: dense obs, T=20, 2000-step scan.
@@ -295,8 +325,9 @@ def run_lorenz(
         time_horizon=20.0,
         config=vt.InferenceConfig(
             training=vt.TrainingConfig(
-                time_step=0.01, batch_size=32, n_iterations=n_iterations,
+                time_step=0.01, batch_size=batch_size, n_iterations=n_iterations,
                 theta_warmup_steps=1000,
+                iw_samples=iw_samples, theta_full_covariance=full_cov,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=head_dim, num_layers=head_layers),
@@ -354,7 +385,11 @@ if __name__ == "__main__":
     if which in ("ou", "both", "all"):
         run_ou(iters or 20000)
     if which in ("ou_synthetic", "all"):
-        run_ou_synthetic(iters or 20000)
+        run_ou_synthetic(
+            iters or 20000,
+            iw_samples=int(sys.argv[sys.argv.index("--iw") + 1]) if "--iw" in sys.argv else 1,
+            full_cov="--full-cov" in sys.argv,
+        )
     if which in ("lv", "both", "all"):
         run_lv(iters or 30000)
     if which in ("lorenz", "all"):
@@ -364,17 +399,36 @@ if __name__ == "__main__":
             ("--head-dim", int, "head_dim"),
             ("--head-layers", int, "head_layers"),
             ("--obs-variance", float, "obs_variance"),
+            ("--iw", int, "iw_samples"),
+            ("--batch", int, "batch_size"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:
                 kw[key] = cast(sys.argv[sys.argv.index(flag) + 1])
+        if "--full-cov" in sys.argv:
+            kw["full_cov"] = True
         run_lorenz(iters or 10000, **kw)
     if which in ("sir", "all"):
         run_sir(iters or 10000)
     if which in ("highdim", "all"):
-        run_highdim(iters or 8000)
+        kw = {}
+        for flag, cast, key in [
+            ("--iw", int, "iw_samples"),
+            ("--batch", int, "batch_size"),
+            ("--name", str, "name"),
+        ]:
+            if flag in sys.argv:
+                kw[key] = cast(sys.argv[sys.argv.index(flag) + 1])
+        if "--full-cov" in sys.argv:
+            kw["full_cov"] = True
+        run_highdim(iters or 8000, **kw)
     if which == "coverage":
         seeds = 5
         if "--seeds" in sys.argv:
             seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
-        run_coverage(iters or 10000, n_seeds=seeds)
+        run_coverage(
+            iters or 10000,
+            n_seeds=seeds,
+            iw_samples=int(sys.argv[sys.argv.index("--iw") + 1]) if "--iw" in sys.argv else 1,
+            full_cov="--full-cov" in sys.argv,
+        )

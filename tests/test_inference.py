@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import scipy.special
 import scipy.stats
 
 from viforsdes_tpu.config import EncoderConfig, HeadConfig, PretrainConfig, TrainingConfig
@@ -153,6 +154,94 @@ class TestElbo:
         )
         for v in res.components:
             assert bool(jnp.isfinite(v))
+
+
+class TestImportanceWeightedBound:
+    def _setup(self, B):
+        sde = _ou_sde()
+        obs = Observations(times=[0.0, 0.2], values=[[1.0], [0.5]])
+        lik = GaussianObservationLikelihood(variance=0.5)
+        prior = Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3)
+        tp = ThetaPosterior(3, [0])
+        ss = StateSpace(1, [0])
+        T = 2
+        z = jnp.abs(jax.random.normal(jax.random.key(0), (B, T + 1, 1))) + 0.5
+        means = 0.1 * jax.random.normal(jax.random.key(1), (B, T, 1))
+        chols = jnp.abs(jax.random.normal(jax.random.key(2), (B, T, 1, 1))) + 0.5
+        sample = DiffusionPathSample(
+            z=z, transition_means=means, transition_cholesky=chols, state_space=ss
+        )
+        obs_idx = observation_indices(np.asarray([0.0, 0.2]), 0.1, T)
+        return sde, obs, lik, prior, tp, tp.init(), sample, obs_idx
+
+    def test_iw_bound_manual(self):
+        """iw_samples=K == logsumexp of per-path weights within contiguous
+        theta groups, plus once-per-group theta terms."""
+        B, K = 4, 2
+        sde, obs, lik, prior, tp, tparams, sample, obs_idx = self._setup(B)
+        theta_small = jnp.abs(jax.random.normal(jax.random.key(3), (B // K, 3))) + 0.5
+        theta = jnp.repeat(theta_small, K, axis=0)
+
+        res = compute_evidence_lower_bound(
+            sde, obs, lik, prior, tp, tparams, theta, sample, 0.1,
+            obs_indices=obs_idx, iw_samples=K,
+        )
+
+        # per-path log weights via K=1 calls on singleton batches
+        log_w = []
+        for i in range(B):
+            s_i = DiffusionPathSample(
+                z=sample.z[i : i + 1],
+                transition_means=sample.transition_means[i : i + 1],
+                transition_cholesky=sample.transition_cholesky[i : i + 1],
+                state_space=sample.state_space,
+            )
+            r_i = compute_evidence_lower_bound(
+                sde, obs, lik, prior, tp, tparams, theta[i : i + 1], s_i, 0.1,
+                obs_indices=obs_idx,
+            )
+            theta_term = float(
+                prior.log_prob(theta[i : i + 1])[0]
+                - tp.log_prob(tparams, theta[i : i + 1])[0]
+            )
+            log_w.append(float(r_i.evidence_lower_bound) - theta_term)
+        log_w = np.asarray(log_w).reshape(B // K, K)
+        theta_terms = np.asarray(
+            prior.log_prob(theta_small) - tp.log_prob(tparams, theta_small)
+        )
+        want = float(
+            np.mean(scipy.special.logsumexp(log_w, axis=1) - np.log(K) + theta_terms)
+        )
+        np.testing.assert_allclose(float(res.evidence_lower_bound), want, rtol=1e-5)
+
+    def test_iw_bound_tighter_for_shared_theta(self):
+        """With all paths sharing one theta, logsumexp >= mean: the K-sample
+        bound dominates the single-sample ELBO on the same draws."""
+        B = 4
+        sde, obs, lik, prior, tp, tparams, sample, obs_idx = self._setup(B)
+        theta = jnp.broadcast_to(jnp.asarray([[0.9, 0.4, 0.7]]), (B, 3))
+        res1 = compute_evidence_lower_bound(
+            sde, obs, lik, prior, tp, tparams, theta, sample, 0.1,
+            obs_indices=obs_idx,
+        )
+        resK = compute_evidence_lower_bound(
+            sde, obs, lik, prior, tp, tparams, theta, sample, 0.1,
+            obs_indices=obs_idx, iw_samples=B,
+        )
+        assert float(resK.evidence_lower_bound) >= float(res1.evidence_lower_bound)
+
+    def test_trainer_iw_runs_and_is_finite(self):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=3, iw_samples=4
+        )
+        trainer = _make_trainer(train_config=cfg)
+        state = trainer.train()
+        assert len(state.evidence_lower_bound_history) == 3
+        assert all(np.isfinite(v) for v in state.evidence_lower_bound_history)
+
+    def test_iw_must_divide_batch(self):
+        with pytest.raises(ValueError):
+            TrainingConfig(batch_size=8, iw_samples=3)
 
 
 class TestEma:

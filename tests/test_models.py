@@ -64,6 +64,95 @@ class TestThetaPosterior:
             ThetaPosterior(2, [5])
 
 
+class TestFullCovarianceThetaPosterior:
+    def test_zero_coupling_is_exact_diagonal_parity(self):
+        """Zero-init tril: rsample draws, log_prob, and expected_value all
+        equal the mean-field family's on the same key/params."""
+        diag = ThetaPosterior(3, [0, 2])
+        full = ThetaPosterior(3, [0, 2], full_covariance=True)
+        p_diag = {"mean": jnp.asarray([0.3, -0.2, 0.1]), "log_std": jnp.log(jnp.asarray([0.5, 0.8, 1.2]))}
+        p_full = {**p_diag, "tril": jnp.zeros((3, 3))}
+        s_d = diag.rsample(p_diag, jax.random.key(4), 64)
+        s_f = full.rsample(p_full, jax.random.key(4), 64)
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_d), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(full.log_prob(p_full, s_f)),
+            np.asarray(diag.log_prob(p_diag, s_f)),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full.expected_value(p_full)),
+            np.asarray(diag.expected_value(p_diag)),
+            rtol=1e-6,
+        )
+
+    def test_log_prob_matches_scipy_mvn_with_jacobian(self):
+        """Correlated case vs scipy: MVN in unconstrained space + exp-Jacobian
+        on the positive dim."""
+        tp = ThetaPosterior(3, [1], full_covariance=True)
+        mean = np.asarray([0.2, -0.1, 0.5])
+        log_std = np.log(np.asarray([0.5, 0.8, 1.2]))
+        tril = np.asarray([[0.0, 0, 0], [0.3, 0.0, 0], [-0.2, 0.4, 0.0]])
+        params = {
+            "mean": jnp.asarray(mean),
+            "log_std": jnp.asarray(log_std),
+            "tril": jnp.asarray(tril),
+        }
+        L = np.diag(np.exp(log_std)) + np.tril(tril, -1)
+        theta = np.asarray([[0.3, 0.9, -0.2], [-1.0, 2.5, 0.7]])
+        z = theta.copy()
+        z[:, 1] = np.log(theta[:, 1])
+        want = scipy.stats.multivariate_normal.logpdf(z, mean, L @ L.T) - z[:, 1]
+        got = np.asarray(tp.log_prob(params, jnp.asarray(theta)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_rsample_consistency_with_log_prob(self):
+        """MC mean of log q under q ~= -entropy of the correlated Gaussian."""
+        tp = ThetaPosterior(2, [], full_covariance=True)
+        params = {
+            "mean": jnp.asarray([1.0, -0.5]),
+            "log_std": jnp.asarray([0.0, np.log(0.6)]),
+            "tril": jnp.asarray([[0.0, 0.0], [0.8, 0.0]]),
+        }
+        L = np.diag([1.0, 0.6]) + np.asarray([[0, 0], [0.8, 0]])
+        s = tp.rsample(params, jax.random.key(5), 50_000)
+        got = float(tp.log_prob(params, s).mean())
+        want = float(
+            scipy.stats.multivariate_normal(
+                np.asarray([1.0, -0.5]), L @ L.T
+            ).logpdf(np.asarray(s)).mean()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # and sample covariance reproduces L L^T
+        np.testing.assert_allclose(
+            np.cov(np.asarray(s).T), L @ L.T, atol=0.05
+        )
+
+    def test_expected_value_uses_row_variance(self):
+        tp = ThetaPosterior(2, [1], full_covariance=True)
+        params = {
+            "mean": jnp.asarray([0.4, 0.2]),
+            "log_std": jnp.asarray([0.0, np.log(0.3)]),
+            "tril": jnp.asarray([[0.0, 0.0], [0.5, 0.0]]),
+        }
+        var1 = 0.5**2 + 0.3**2
+        ev = np.asarray(tp.expected_value(params))
+        np.testing.assert_allclose(ev[1], np.exp(0.2 + 0.5 * var1), rtol=1e-5)
+
+    def test_trainer_full_covariance_runs(self):
+        from viforsdes_tpu.config import TrainingConfig
+        from tests.test_inference import _make_trainer
+
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=3,
+            theta_full_covariance=True,
+        )
+        trainer = _make_trainer(train_config=cfg)
+        assert trainer.params["theta"]["tril"].shape == (3, 3)
+        state = trainer.train()
+        assert all(np.isfinite(v) for v in state.evidence_lower_bound_history)
+
+
 class TestEncoder:
     def _build(self, hidden=16, depth=1):
         cfg = EncoderConfig(hidden_dim=hidden, cond_dim=8, num_heads=2, depth=depth)

@@ -56,6 +56,22 @@ class TrainingConfig(YamlConfig):
     # path model can learn, and the two lock in (Lorenz-63: sigma_L -> 0.05
     # from a near-truth init, results_lorenz.json round-2 diagnosis).
     theta_warmup_steps: int = 0
+    # Importance-weighted path bound (IWAE, Burda et al. 2016): each of the
+    # batch_size/iw_samples theta samples gets iw_samples paths, combined by
+    # logsumexp over the per-path weights. Same path count and compute as the
+    # plain ELBO (iw_samples=1, the reference objective). As iw_samples grows
+    # the bound tends to E_q(theta)[log p(y|theta)] - KL(q(theta)||p(theta)),
+    # whose optimum over q(theta) is the EXACT theta posterior — removing the
+    # theta bias that a too-weak path family induces under the single-sample
+    # ELBO (the mechanism behind the Lorenz-63 / high-dim OU 2-sigma failures,
+    # BASELINE.md round-2 diagnosis).
+    iw_samples: int = 1
+    # Full-covariance q(theta) in the unconstrained space (zero-init coupling,
+    # so init == the reference's mean-field family). Mean-field cannot
+    # represent the parameter correlations chaotic posteriors carry, which
+    # contributes to its overconfident marginal CIs (BASELINE.md Lorenz
+    # diagnosis); the coupling adds P(P-1)/2 parameters — free at P <= a few.
+    theta_full_covariance: bool = False
 
     @field_validator("theta_warmup_steps")
     @classmethod
@@ -63,6 +79,19 @@ class TrainingConfig(YamlConfig):
         if v < 0:
             raise ValueError("theta_warmup_steps must be >= 0")
         return v
+
+    @field_validator("iw_samples")
+    @classmethod
+    def validate_iw_samples(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError("iw_samples must be >= 1")
+        return v
+
+    @model_validator(mode="after")
+    def validate_iw_divides_batch(self) -> "TrainingConfig":
+        if self.batch_size % self.iw_samples != 0:
+            raise ValueError("batch_size must be divisible by iw_samples")
+        return self
 
     @field_validator("time_step", "learning_rate", "sde_param_lr", "grad_clip_norm")
     @classmethod

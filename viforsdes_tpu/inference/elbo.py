@@ -95,6 +95,7 @@ def compute_evidence_lower_bound(
     time_step: float,
     *,
     obs_indices: np.ndarray,
+    iw_samples: int = 1,
 ) -> EvidenceLowerBoundResult:
     z = sample.z.astype(jnp.float32)
     x = sample.x.astype(jnp.float32)
@@ -129,17 +130,24 @@ def compute_evidence_lower_bound(
     prior_log_prob = prior.log_prob(sde_parameters)
     posterior_log_prob = theta_posterior.log_prob(theta_params, sde_parameters)
 
-    elbo = (
-        obs_log_prob
-        + sde_log_prob
-        - gen_log_prob
-        + jacobian
-        + prior_log_prob
-        - posterior_log_prob
-    )
+    log_w = obs_log_prob + sde_log_prob - gen_log_prob + jacobian
+    if iw_samples > 1:
+        # Importance-weighted path bound: the batch is batch/K groups of K
+        # paths sharing one theta (the caller tiles theta in CONTIGUOUS
+        # groups, trainer._elbo_from_params). Per group:
+        #   log(1/K sum_k w_k),  w_k = p(y|x_k) p(x_k|theta) / q(x_k|y,theta)
+        # then the theta-level terms are added once per group (they are
+        # constant within a group — take the group's first copy).
+        k = iw_samples
+        log_w_g = log_w.reshape(-1, k)
+        iw_bound = jax.nn.logsumexp(log_w_g, axis=1) - math.log(k)
+        theta_terms = (prior_log_prob - posterior_log_prob).reshape(-1, k)[:, 0]
+        elbo_mean = (iw_bound + theta_terms).mean()
+    else:
+        elbo_mean = (log_w + prior_log_prob - posterior_log_prob).mean()
 
     return EvidenceLowerBoundResult(
-        evidence_lower_bound=elbo.mean(),
+        evidence_lower_bound=elbo_mean,
         components=EvidenceLowerBoundComponents(
             observation_log_prob=obs_log_prob.mean(),
             sde_log_prob=sde_log_prob.mean(),

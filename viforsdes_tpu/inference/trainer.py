@@ -132,6 +132,7 @@ class VariationalInferenceTrainer:
             obs_times=np.asarray(observations.times),
             time_horizon=self.time_horizon,
             time_step=config.time_step,
+            theta_full_covariance=config.theta_full_covariance,
         )
 
         self.n_steps = self.model.encoder.n_grid - 1
@@ -258,7 +259,14 @@ class VariationalInferenceTrainer:
         self, params: dict, key: Array, batch_size: int
     ) -> EvidenceLowerBoundResult:
         k_theta, k_path = jax.random.split(key)
-        theta = self.model.theta_posterior.rsample(params["theta"], k_theta, batch_size)
+        iw = self.config.iw_samples
+        theta = self.model.theta_posterior.rsample(
+            params["theta"], k_theta, batch_size // iw
+        )
+        if iw > 1:
+            # contiguous groups of iw paths per theta (elbo.py reshapes [B]
+            # -> [B/iw, iw] for the within-group logsumexp)
+            theta = jnp.repeat(theta, iw, axis=0)
         theta = self._shard_batch(theta)
         x0 = jnp.broadcast_to(self._x0_single, (batch_size, self.sde.state_dim))
         x0 = self._shard_batch(x0)
@@ -285,6 +293,7 @@ class VariationalInferenceTrainer:
             sample,
             self.config.time_step,
             obs_indices=self.obs_indices,
+            iw_samples=iw,
         )
 
     def _build_train_step(self) -> Callable:

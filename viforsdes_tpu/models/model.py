@@ -32,6 +32,7 @@ class VariationalSDEPosterior:
         obs_times: np.ndarray,
         time_horizon: float,
         time_step: float,
+        theta_full_covariance: bool = False,
     ) -> None:
         self.encoder = ObservationContextEncoder.build(
             observation_dim,
@@ -47,7 +48,11 @@ class VariationalSDEPosterior:
             sde_param_dim=sde_param_dim,
             config=head_config,
         )
-        self.theta_posterior = ThetaPosterior(sde_param_dim, sde_param_positive_dims)
+        self.theta_posterior = ThetaPosterior(
+            sde_param_dim,
+            sde_param_positive_dims,
+            full_covariance=theta_full_covariance,
+        )
 
     def init(
         self,
