@@ -136,9 +136,13 @@ def main() -> None:
                     help="re-analyze an existing logdir without touching the TPU")
     ap.add_argument("--wall-ms", type=float, default=None,
                     help="wall ms/step from the capture run (with --analyze-only)")
+    ap.add_argument("--tag", default=None,
+                    help="suffix for the output json (e.g. 'splash'), so "
+                    "variant traces don't clobber the committed default ones")
     args = ap.parse_args()
     n_steps = args.steps or (30 if args.which == "ou" else 8)
-    logdir = Path(args.logdir or f"/tmp/jaxtrace_{args.which}")
+    suffix = f"{args.which}_{args.tag}" if args.tag else args.which
+    logdir = Path(args.logdir or f"/tmp/jaxtrace_{suffix}")
 
     wall_ms = args.wall_ms or 0.0
     if not args.analyze_only:
@@ -189,7 +193,7 @@ def main() -> None:
             for d in ops[:40]
         ],
     }
-    out = Path(__file__).parent / f"trace_{args.which}.json"
+    out = Path(__file__).parent / f"trace_{suffix}.json"
     out.write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary["by_category_ms_per_step"], indent=2))
     for d in summary["top_ops_ms_per_step"][:25]:

@@ -192,6 +192,97 @@ class TestAttention:
         with pytest.raises(ValueError):
             attention(params, cfg, x, v0=jnp.zeros((1, 3, 2, 4)))
 
+    def test_flash_kernel_layout_branch_matches_dense(self, monkeypatch):
+        """The flash branch (QK-norm + RoPE + gate in [B, H, S, D] kernel
+        layout, round-3 layout change) == the dense [B, S, H, D] branch,
+        values AND gradients, with a dense impl standing in for the Mosaic
+        kernel on CPU."""
+        import functools
+        import importlib
+
+        # ops/__init__ re-exports the `attention` FUNCTION under the same
+        # name as the submodule, so plain `import ... as` binds the function
+        attn_mod = importlib.import_module("viforsdes_tpu.ops.attention")
+        from viforsdes_tpu.ops.flash_attention import (
+            _reference_masked_attention,
+            flash_sdpa,
+        )
+        from viforsdes_tpu.ops.embeddings import precompute_rope
+
+        cfg = AttentionConfig(embed_dim=16, num_heads=4, residual_v=True)
+        params = attention_init(jax.random.key(0), cfg)
+        params["gate_proj"]["w"] = 0.3 * jax.random.normal(
+            jax.random.key(5), params["gate_proj"]["w"].shape
+        )
+        s = 37  # not block-aligned: exercises the pad/mask path too
+        rope = precompute_rope(4, end=s)
+        x = jax.random.normal(jax.random.key(1), (2, s, 16))
+        v0_bshd = jax.random.normal(jax.random.key(2), (2, s, 4, 4))
+
+        def loss_dense(x, v0):
+            out, v = attention(params, cfg, x, rotary=rope, v0=v0)
+            return jnp.sum(out**2) + jnp.sum(jnp.sin(v)), (out, v)
+
+        (l_dense, (out_dense, v_dense)), g_dense = jax.value_and_grad(
+            loss_dense, argnums=(0, 1), has_aux=True
+        )(x, v0_bshd)
+
+        monkeypatch.setattr(attn_mod, "use_flash_attention", lambda s_: True)
+        monkeypatch.setattr(
+            attn_mod,
+            "flash_sdpa",
+            functools.partial(flash_sdpa, impl=_reference_masked_attention),
+        )
+
+        v0_bhsd = jnp.swapaxes(v0_bshd, 1, 2)
+
+        def loss_flash(x, v0):
+            out, v = attention(params, cfg, x, rotary=rope, v0=v0)
+            # v state is [B, H, S, D] on the flash path
+            return jnp.sum(out**2) + jnp.sum(jnp.sin(v)), (out, v)
+
+        (l_flash, (out_flash, v_flash)), g_flash = jax.value_and_grad(
+            loss_flash, argnums=(0, 1), has_aux=True
+        )(x, v0_bhsd)
+
+        np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_dense), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(v_flash, 1, 2)), np.asarray(v_dense), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(float(l_flash), float(l_dense), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_flash[0]), np.asarray(g_dense[0]), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(g_flash[1], 1, 2)), np.asarray(g_dense[1]), rtol=3e-4, atol=3e-5
+        )
+
+
+class TestDenseRematSDPA:
+    def test_matches_dot_product_attention(self):
+        """_dense_sdpa_remat == jax.nn.dot_product_attention, values + grads
+        (same math, different residual policy)."""
+        from viforsdes_tpu.ops.attention import _dense_sdpa_remat
+
+        kq, kk, kv, kc = jax.random.split(jax.random.key(9), 4)
+        b, s, h, d = 2, 23, 4, 16
+        q = jax.random.normal(kq, (b, s, h, d))
+        k = jax.random.normal(kk, (b, s, h, d))
+        v = jax.random.normal(kv, (b, s, h, d))
+        ct = jax.random.normal(kc, (b, s, h, d))
+
+        got = _dense_sdpa_remat(q, k, v)
+        want = jax.nn.dot_product_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+        def loss(fn, q, k, v):
+            return jnp.sum(fn(q, k, v) * ct)
+
+        g_got = jax.grad(lambda *a: loss(_dense_sdpa_remat, *a), argnums=(0, 1, 2))(q, k, v)
+        g_want = jax.grad(
+            lambda *a: loss(jax.nn.dot_product_attention, *a), argnums=(0, 1, 2)
+        )(q, k, v)
+        for gg, gw in zip(g_got, g_want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=3e-6)
+
 
 class TestSiT:
     def _cfg(self):

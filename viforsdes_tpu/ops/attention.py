@@ -18,6 +18,7 @@ and softmax accumulate in fp32 while inputs may be bf16.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -75,6 +76,27 @@ def _rope_heads(x: Array, rotary: RotaryTables | None) -> Array:
     return jnp.swapaxes(bshd, 1, 2)
 
 
+@jax.checkpoint
+def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
+    """Non-causal SDPA over ``[B, S, H, D]`` with NO attention-prob residuals.
+
+    ``jax.nn.dot_product_attention``'s fp32 softmax leaves ``f32[B, H, S, S]``
+    probability tensors as saved residuals — the round-3 OU trace shows their
+    HBM round-trips (6x ``f32[128,4,101,101]``) plus layout copies costing
+    ~1.8 ms of the 9.25 ms step (BASELINE.md). Rematerializing the whole
+    product (logits + softmax + PV) saves only ``q, k, v``; the backward
+    recomputes the probs from a small compute-bound matmul instead of
+    streaming them from HBM. fp32 logits/softmax as before; the recomputed
+    probs feed the MXU in the input dtype.
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / d**0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
 def attention(
     params: dict,
     cfg: AttentionConfig,
@@ -93,16 +115,38 @@ def attention(
 
     qkv = linear(params["qkv_proj"], hidden_states)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(b, s, h, d)
-    k = k.reshape(b, s, h, d)
-    v = v.reshape(b, s, h, d)
+
+    # Long grids dispatch to the blockwise Mosaic kernel: the dense path
+    # materializes [B, H, S, S] probabilities in HBM, which dominates the
+    # step at S ~ 2000 (ops/flash_attention.py). The choice is static (S is
+    # a trace constant). On the flash path everything between the QKV and
+    # output projections runs in the kernel's native [B, H, S, D] layout —
+    # one transpose in, one out. Measured end-to-end this is a WASH vs
+    # transposing at each kernel boundary (175.0 vs 175.1 ms/step Lorenz,
+    # profile_flash_layout.py — XLA already folded those copies); it is kept
+    # as the marginally simpler program. QK-RMSNorm and RoPE are
+    # layout-agnostic (last-dim math), so both paths share them.
+    native = flash = use_flash_attention(s)
+    if native:
+        q = jnp.swapaxes(q.reshape(b, s, h, d), 1, 2)  # [B, H, S, D]
+        k = jnp.swapaxes(k.reshape(b, s, h, d), 1, 2)
+        v = jnp.swapaxes(v.reshape(b, s, h, d), 1, 2)
+    else:
+        q = q.reshape(b, s, h, d)
+        k = k.reshape(b, s, h, d)
+        v = v.reshape(b, s, h, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, eps=cfg.qk_norm_eps)
         k = rms_norm(k, eps=cfg.qk_norm_eps)
 
-    q = _rope_heads(q, rotary)
-    k = _rope_heads(k, rotary)
+    if native:
+        # already [B, H, S, D], the layout apply_rope_1d expects
+        q = apply_rope_1d(q, rotary) if rotary is not None else q
+        k = apply_rope_1d(k, rotary) if rotary is not None else k
+    else:
+        q = _rope_heads(q, rotary)
+        k = _rope_heads(k, rotary)
 
     if cfg.residual_v and v0 is not None:
         if v0.shape != v.shape:
@@ -110,20 +154,33 @@ def attention(
         lam = params["v_residual_lambda"].astype(v.dtype)
         v = lam * v + (1.0 - lam) * v0
 
+    # v state stays in the layout of the active path ([B, H, S, D] native,
+    # [B, S, H, D] otherwise) — it only flows between blocks of the same
+    # stack, which all take the same path (S is shared).
     v_out = v
 
-    # Non-causal SDPA; fp32 logits/softmax, output in input dtype. Long grids
-    # dispatch to the blockwise Mosaic kernel: the dense path materializes
-    # [B, H, S, S] probabilities in HBM, which dominates the step at S ~ 2000
-    # (ops/flash_attention.py). The choice is static (S is a trace constant).
-    if use_flash_attention(s):
+    if native:
+        attn_output = flash_sdpa(q, k, v, kernel_layout=True)  # [B, H, S, D]
+    elif flash:
         attn_output = flash_sdpa(q, k, v)
+    elif os.environ.get("VIFORSDES_DENSE_REMAT", "1") != "0":
+        # Default ON: device-op trace sums (the only noise-free yardstick on
+        # this tunnel) measure 9.00 vs 9.25 ms/step at the OU headline —
+        # remat trades +0.33 ms of recompute matmuls for −0.58 ms of
+        # prob-residual HBM traffic (trace_ou_remat.json vs trace_ou.json).
+        # VIFORSDES_DENSE_REMAT=0 restores the library SDPA (trace-time knob).
+        attn_output = _dense_sdpa_remat(q, k, v)
     else:
         attn_output = jax.nn.dot_product_attention(q, k, v)
 
     if cfg.gate:
         gate_scores = jax.nn.sigmoid(linear(params["gate_proj"], hidden_states))
-        attn_output = attn_output * gate_scores[:, :, None, :]
+        if native:
+            attn_output = attn_output * gate_scores[:, None, :, :]
+        else:
+            attn_output = attn_output * gate_scores[:, :, None, :]
 
+    if native:
+        attn_output = jnp.swapaxes(attn_output, 1, 2)  # back to [B, S, H, D]
     out = linear(params["out_proj"], attn_output.reshape(b, s, h * d))
     return out, v_out

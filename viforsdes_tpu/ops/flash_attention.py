@@ -145,19 +145,27 @@ def _splash_sdpa(qh, kh, vh, real_len: int, sm_scale: float, *, interpret=False)
     )(qs, kh, vh)
 
 
-def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
+def flash_sdpa(
+    q: Array, k: Array, v: Array, *, impl=None, kernel_layout: bool = False
+) -> Array:
     """Non-causal flash attention over ``[B, S, H, D]`` tensors.
 
     Pads the sequence axis to a multiple of the kernel block, masks the pad
     via segment ids, and slices the pad back off. ``impl`` injects a dense
     reference implementation for CPU tests; ``None`` selects the Mosaic
-    kernel.
+    kernel. ``kernel_layout=True`` means the caller already passes (and wants
+    back) ``[B, H, S, D]`` — the Mosaic kernel's native layout — skipping the
+    boundary transposes (the round-3 trace showed the per-block layout
+    round-trips costing several ms/step at the Lorenz shape, BASELINE.md).
     """
-    b, s, h, d = q.shape
+    if kernel_layout:
+        b, h, s, d = q.shape
+        qh, kh, vh = q, k, v
+    else:
+        b, s, h, d = q.shape
+        # [B, S, H, D] -> [B, H, S, D]
+        qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     sm_scale = 1.0 / (d**0.5)
-
-    # [B, S, H, D] -> [B, H, S, D]
-    qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
 
     pad = (-s) % _FLASH_BLOCK
     segment_ids = None
@@ -182,7 +190,7 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
         out = _splash_sdpa(qh, kh, vh, s, sm_scale)
         if pad:
             out = out[:, :, :s, :]
-        return jnp.swapaxes(out, 1, 2)
+        return out if kernel_layout else jnp.swapaxes(out, 1, 2)
 
     if impl is None:
         fa = _kernel()
@@ -221,4 +229,4 @@ def flash_sdpa(q: Array, k: Array, v: Array, *, impl=None) -> Array:
 
     if pad:
         out = out[:, :, :s, :]
-    return jnp.swapaxes(out, 1, 2)
+    return out if kernel_layout else jnp.swapaxes(out, 1, 2)
