@@ -26,11 +26,13 @@ below) so later rounds show relative progress; null until established.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 # First TPU v5e measurement of this implementation (round 1); later rounds are
 # compared against it. See BASELINE.md.
@@ -44,6 +46,13 @@ DEFAULT_PEAK = 197e12
 WARMUP_STEPS = 5
 WINDOW_STEPS = 20
 N_WINDOWS = 7
+
+# Steps per dispatch. The trainer's scan-chunked dispatch (steps_per_call,
+# trainer.py) is how long training runs actually execute; one dispatch per
+# WINDOW_STEPS also removes the per-step host->device RTT of this tunnel from
+# the measurement (device-op sum 9.0 ms/step vs ~11 ms wall per-step,
+# BASELINE.md). BENCH_CHUNK=1 restores per-step dispatch.
+CHUNK = int(os.environ.get("BENCH_CHUNK", str(WINDOW_STEPS)))
 
 BATCH = 128
 N_STEPS = 100  # T=5, dt=0.05
@@ -129,12 +138,23 @@ def main() -> None:
 
     params, opt_state, ema = trainer.params, trainer.opt_state, trainer.ema_params
     step_fn = trainer._train_step
+    chunk_fn = trainer._get_train_chunk(CHUNK) if CHUNK > 1 else None
 
     step_idx = 0
 
     def run_steps(n):
         nonlocal params, opt_state, ema, step_idx
         metrics = None
+        if chunk_fn is not None and n % CHUNK == 0:
+            for _ in range(n // CHUNK):
+                steps_arr = jnp.arange(step_idx, step_idx + CHUNK, dtype=jnp.int32)
+                scales = jnp.ones(CHUNK, dtype=jnp.float32)
+                params, opt_state, ema, metrics = chunk_fn(
+                    params, opt_state, ema, steps_arr, scales
+                )
+                step_idx += CHUNK
+            jax.block_until_ready(metrics)
+            return jax.tree.map(lambda a: a[-1], metrics)
         for _ in range(n):
             key = jax.random.fold_in(trainer._train_key, step_idx)
             params, opt_state, ema, metrics = step_fn(params, opt_state, ema, key)
@@ -142,7 +162,9 @@ def main() -> None:
         jax.block_until_ready(metrics)
         return metrics
 
-    metrics = run_steps(WARMUP_STEPS)
+    # warmup: one chunk dispatch when chunking (avoids also compiling the
+    # single-step program), else WARMUP_STEPS single steps
+    metrics = run_steps(CHUNK if chunk_fn is not None else WARMUP_STEPS)
 
     rates = []
     for _ in range(N_WINDOWS):
@@ -183,6 +205,7 @@ def main() -> None:
                 # it is NOT a vs-reference speedup.
                 "vs_baseline_basis": "self_round1",
                 "iqr": round(iqr, 3),
+                "steps_per_dispatch": CHUNK,
                 "windows": [round(r, 2) for r in rates],
                 "path_steps_per_sec_per_chip": round(steps_per_sec * BATCH * N_STEPS),
                 "model_flops_per_step": round(flops),

@@ -279,6 +279,95 @@ def _make_trainer(n_iterations=5, pretrain=False, train_config=None, **kwargs):
     )
 
 
+class TestChunkedDispatch:
+    """steps_per_call=K (one lax.scan dispatch per K steps) must reproduce the
+    per-step dispatch path exactly: same key sequence, same optimizer math."""
+
+    def _run(self, steps_per_call, n_iterations=9, warmup=4, update_interval=10,
+             callback_log=None):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=n_iterations,
+            theta_warmup_steps=warmup, steps_per_call=steps_per_call,
+        )
+        trainer = _make_trainer(train_config=cfg)
+        cb = None
+        if callback_log is not None:
+            cb = lambda step, elbo: callback_log.append((step, elbo))
+        state = trainer.train(callback=cb, update_interval=update_interval)
+        return trainer, state
+
+    def test_chunked_matches_single_step(self):
+        """Chunk of 3 over 9 steps (warmup boundary at 4 lands INSIDE a
+        chunk) == single-step dispatch: params, ema, and full ELBO history."""
+        t1, s1 = self._run(steps_per_call=1)
+        t3, s3 = self._run(steps_per_call=3)
+        np.testing.assert_allclose(
+            np.asarray(s3.evidence_lower_bound_history),
+            np.asarray(s1.evidence_lower_bound_history),
+            rtol=1e-5, atol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree.leaves(t1.params), jax.tree.leaves(t3.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(t1.ema_params), jax.tree.leaves(t3.ema_params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_callback_sees_every_step_in_order(self):
+        log = []
+        self._run(steps_per_call=4, n_iterations=10, warmup=0, callback_log=log)
+        assert [s for s, _ in log] == list(range(10))
+        assert all(np.isfinite(e) for _, e in log)
+
+    def test_auto_resolution(self):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=100, steps_per_call=0
+        )
+        trainer = _make_trainer(train_config=cfg)
+        assert trainer._resolve_steps_per_call(10) == 10
+        cfg_short = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=5, steps_per_call=0
+        )
+        trainer_s = _make_trainer(train_config=cfg_short)
+        assert trainer_s._resolve_steps_per_call(10) == 1
+        # explicit values clamp to the flush interval
+        cfg_big = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=100, steps_per_call=64
+        )
+        trainer_b = _make_trainer(train_config=cfg_big)
+        assert trainer_b._resolve_steps_per_call(10) == 10
+
+    def test_chunked_checkpoint_resume_exact(self, tmp_path):
+        """Chunked run checkpointing mid-training resumes to the same final
+        params as an uninterrupted chunked run."""
+        ckpt = tmp_path / "chunk_ckpt.npz"
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=8, steps_per_call=2,
+        )
+        t_full = _make_trainer(train_config=cfg)
+        s_full = t_full.train(update_interval=4)
+
+        cfg_half = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=4, steps_per_call=2,
+        )
+        t_a = _make_trainer(train_config=cfg_half)
+        t_a.train(update_interval=4, checkpoint_every=4, checkpoint_path=ckpt)
+        t_b = _make_trainer(train_config=cfg)
+        t_b.restore_checkpoint(ckpt)
+        s_b = t_b.train(update_interval=4)
+        np.testing.assert_allclose(
+            np.asarray(s_b.evidence_lower_bound_history),
+            np.asarray(s_full.evidence_lower_bound_history),
+            rtol=1e-5, atol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree.leaves(t_full.params), jax.tree.leaves(t_b.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 class TestTrainer:
     def test_train_runs_and_tracks_history(self):
         trainer = _make_trainer(n_iterations=5)

@@ -66,6 +66,16 @@ class TrainingConfig(YamlConfig):
     # ELBO (the mechanism behind the Lorenz-63 / high-dim OU 2-sigma failures,
     # BASELINE.md round-2 diagnosis).
     iw_samples: int = 1
+    # Steps per host->device dispatch. The train step itself is one XLA
+    # program; on a high-latency link (this environment's tunneled TPU) the
+    # per-call dispatch RTT leaves the chip idle between steps (device-op
+    # trace sums 9.0 ms/step vs ~11 ms wall at the OU headline, BASELINE.md).
+    # steps_per_call=K wraps K steps in one jitted lax.scan with identical
+    # math and key sequence (fold_in(base, step) per step), so one dispatch
+    # covers K optimizer steps. 0 = auto: chunk by the console update interval
+    # on long runs, single-step on short ones (avoids a second compile where
+    # it cannot pay for itself). 1 = always single-step dispatch.
+    steps_per_call: int = 0
     # Full-covariance q(theta) in the unconstrained space (zero-init coupling,
     # so init == the reference's mean-field family). Mean-field cannot
     # represent the parameter correlations chaotic posteriors carry, which
@@ -85,6 +95,13 @@ class TrainingConfig(YamlConfig):
     def validate_iw_samples(cls, v: int) -> int:
         if v < 1:
             raise ValueError("iw_samples must be >= 1")
+        return v
+
+    @field_validator("steps_per_call")
+    @classmethod
+    def validate_steps_per_call(cls, v: int) -> int:
+        if v < 0:
+            raise ValueError("steps_per_call must be >= 0 (0 = auto)")
         return v
 
     @model_validator(mode="after")

@@ -189,6 +189,7 @@ class VariationalInferenceTrainer:
         self.evidence_lower_bound_history: list[float] = []
         self.best_evidence_lower_bound = float("-inf")
 
+        self._train_chunks: dict[int, Callable] = {}
         self._train_step = self._build_train_step()
 
     # ---------------------------------------------------- checkpoint / resume
@@ -296,43 +297,90 @@ class VariationalInferenceTrainer:
             iw_samples=iw,
         )
 
-    def _build_train_step(self) -> Callable:
+    def _step_math(self, params, opt_state, ema, key, theta_scale):
+        """One optimizer step (shared by the single-step and scan-chunked
+        dispatch paths — identical math, so chunking cannot drift)."""
         batch_size = self.config.batch_size
 
         def loss_fn(params: dict, key: Array):
             result = self._elbo_from_params(params, key, batch_size)
             return -result.evidence_lower_bound, result
 
+        (_, result), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        if theta_scale is not None:
+            # theta warmup: zero the APPLIED theta update (keeps AdamW's
+            # weight decay from dragging the frozen mean; moments still
+            # accumulate so release is smooth)
+            updates = {
+                **updates,
+                "theta": jax.tree.map(
+                    lambda u: u * theta_scale, updates["theta"]
+                ),
+            }
+        params = optax.apply_updates(params, updates)
+        ema = ema_update(ema, params)
+        metrics = StepMetrics(
+            elbo=result.evidence_lower_bound,
+            observation_log_prob=result.components.observation_log_prob,
+            sde_log_prob=result.components.sde_log_prob,
+            generative_log_prob=result.components.generative_log_prob,
+            prior_log_prob=result.components.prior_log_prob,
+            posterior_log_prob=result.components.posterior_log_prob,
+            grad_norm=grad_norm,
+            param_means=self.model.theta_posterior.expected_value(params["theta"]),
+        )
+        return params, opt_state, ema, metrics
+
+    def _build_train_step(self) -> Callable:
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, ema, key, theta_scale=None):
-            (_, result), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
-            grad_norm = optax.global_norm(grads)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            if theta_scale is not None:
-                # theta warmup: zero the APPLIED theta update (keeps AdamW's
-                # weight decay from dragging the frozen mean; moments still
-                # accumulate so release is smooth)
-                updates = {
-                    **updates,
-                    "theta": jax.tree.map(
-                        lambda u: u * theta_scale, updates["theta"]
-                    ),
-                }
-            params = optax.apply_updates(params, updates)
-            ema = ema_update(ema, params)
-            metrics = StepMetrics(
-                elbo=result.evidence_lower_bound,
-                observation_log_prob=result.components.observation_log_prob,
-                sde_log_prob=result.components.sde_log_prob,
-                generative_log_prob=result.components.generative_log_prob,
-                prior_log_prob=result.components.prior_log_prob,
-                posterior_log_prob=result.components.posterior_log_prob,
-                grad_norm=grad_norm,
-                param_means=self.model.theta_posterior.expected_value(params["theta"]),
+            return self._step_math(params, opt_state, ema, key, theta_scale)
+
+        return train_step
+
+    def _get_train_chunk(self, length: int) -> Callable:
+        """K steps per dispatch as one jitted ``lax.scan`` (config
+        ``steps_per_call``): on a high-dispatch-latency link one call covers K
+        optimizer steps, keeping the chip busy (device-op sum 9.0 ms/step vs
+        ~11 ms wall per-step at the OU headline, BASELINE.md). Keys are
+        ``fold_in(base, step)`` from the scanned step index — the exact
+        sequence the per-step path uses, so the two dispatch modes produce
+        bit-identical training (tests/test_inference.py)."""
+        fn = self._train_chunks.get(length)
+        if fn is not None:
+            return fn
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_chunk(params, opt_state, ema, steps, theta_scales):
+            def body(carry, x):
+                params, opt_state, ema = carry
+                step, theta_scale = x
+                key = jax.random.fold_in(self._train_key, step)
+                params, opt_state, ema, metrics = self._step_math(
+                    params, opt_state, ema, key, theta_scale
+                )
+                return (params, opt_state, ema), metrics
+
+            (params, opt_state, ema), metrics = jax.lax.scan(
+                body, (params, opt_state, ema), (steps, theta_scales),
+                length=length,
             )
             return params, opt_state, ema, metrics
 
-        return train_step
+        self._train_chunks[length] = train_chunk
+        return train_chunk
+
+    def _resolve_steps_per_call(self, update_interval: int) -> int:
+        spc = self.config.steps_per_call
+        if spc == 0:
+            # auto: chunk long runs by the flush interval; short runs stay
+            # single-step so the extra compile cannot cost more than it saves
+            remaining = self.config.n_iterations - self._start_step
+            spc = update_interval if remaining >= 3 * update_interval else 1
+        # chunks never span a flush boundary, so larger values cannot be used
+        return max(1, min(spc, update_interval))
 
     # ----------------------------------------------------------------- train
 
@@ -362,7 +410,17 @@ class VariationalInferenceTrainer:
                 return
             fetched = jax.device_get(pending)
             pending.clear()
-            for step, m in fetched:
+            rows: list[tuple[int, StepMetrics]] = []
+            for first_step, m in fetched:
+                if np.ndim(m.elbo) == 0:
+                    rows.append((first_step, m))
+                else:
+                    # scan-chunked dispatch: leaves carry a leading [K] axis
+                    for i in range(np.shape(m.elbo)[0]):
+                        rows.append(
+                            (first_step + i, jax.tree.map(lambda a: a[i], m))
+                        )
+            for step, m in rows:
                 elbo = float(m.elbo)
                 loss_ema = (
                     LOSS_EMA_DECAY * loss_ema + (1 - LOSS_EMA_DECAY) * (-elbo)
@@ -375,7 +433,7 @@ class VariationalInferenceTrainer:
                     self.best_evidence_lower_bound = elbo
                 if callback is not None:
                     callback(step, elbo)
-            last_step, last = fetched[-1]
+            last_step, last = rows[-1]
             progress.update(
                 step=last_step,
                 loss=smoothed_loss,
@@ -398,32 +456,64 @@ class VariationalInferenceTrainer:
             param_names=self.param_names,
         ) as progress:
             warmup = self.config.theta_warmup_steps
-            for step in range(self._start_step, self.config.n_iterations):
-                self.step = step
-                key = jax.random.fold_in(self._train_key, step)
-                if warmup > 0:
-                    theta_scale = jnp.float32(0.0 if step < warmup else 1.0)
-                    self.params, self.opt_state, self.ema_params, metrics = (
-                        self._train_step(
-                            self.params, self.opt_state, self.ema_params, key,
-                            theta_scale,
+            n_iterations = self.config.n_iterations
+            chunk = self._resolve_steps_per_call(update_interval)
+            checkpointing = (
+                checkpoint_every is not None and checkpoint_path is not None
+            )
+
+            def is_boundary(completed: int) -> bool:
+                """Host-sync points, in completed-step-count space: console
+                flushes and checkpoint saves (chunks must not span these)."""
+                if completed % update_interval == 0:
+                    return True
+                return checkpointing and completed % checkpoint_every == 0
+
+            step = self._start_step
+            while step < n_iterations:
+                # dispatch up to the next boundary in one or more calls
+                seg_end = step + 1
+                while seg_end < n_iterations and not is_boundary(seg_end):
+                    seg_end += 1
+                while step < seg_end:
+                    if chunk > 1 and seg_end - step >= chunk:
+                        steps_arr = jnp.arange(step, step + chunk, dtype=jnp.int32)
+                        scales = (
+                            (steps_arr >= warmup).astype(jnp.float32)
+                            if warmup > 0
+                            else jnp.ones(chunk, dtype=jnp.float32)
                         )
-                    )
-                else:
-                    self.params, self.opt_state, self.ema_params, metrics = (
-                        self._train_step(
-                            self.params, self.opt_state, self.ema_params, key
+                        fn = self._get_train_chunk(chunk)
+                        self.params, self.opt_state, self.ema_params, metrics = fn(
+                            self.params, self.opt_state, self.ema_params,
+                            steps_arr, scales,
                         )
-                    )
-                self._completed_steps = step + 1
-                pending.append((step, metrics))
-                if (step + 1) % update_interval == 0:
+                        pending.append((step, metrics))
+                        step += chunk
+                    else:
+                        key = jax.random.fold_in(self._train_key, step)
+                        if warmup > 0:
+                            theta_scale = jnp.float32(0.0 if step < warmup else 1.0)
+                            self.params, self.opt_state, self.ema_params, metrics = (
+                                self._train_step(
+                                    self.params, self.opt_state, self.ema_params,
+                                    key, theta_scale,
+                                )
+                            )
+                        else:
+                            self.params, self.opt_state, self.ema_params, metrics = (
+                                self._train_step(
+                                    self.params, self.opt_state, self.ema_params,
+                                    key,
+                                )
+                            )
+                        pending.append((step, metrics))
+                        step += 1
+                    self.step = step - 1
+                    self._completed_steps = step
+                if step % update_interval == 0:
                     flush(progress)
-                if (
-                    checkpoint_every is not None
-                    and checkpoint_path is not None
-                    and (step + 1) % checkpoint_every == 0
-                ):
+                if checkpointing and step % checkpoint_every == 0:
                     flush(progress)
                     self.save_checkpoint(checkpoint_path)
             flush(progress)
