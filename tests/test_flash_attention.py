@@ -123,6 +123,48 @@ def test_splash_interpret_odd_block_multiple():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+def test_dqfix_lm128_fork_matches_dense_interpret():
+    """The forked flash wiring (dq di-fix + lm128 residual layout,
+    ops/pallas/flash_fixed.py) == dense SDPA, values AND all three input
+    gradients, under Pallas interpret mode on CPU. This covers the host-side
+    wiring changes (128-wide l/m residuals, ones-matmul di) exactly where
+    they could break: the kernels consume what the wiring feeds them."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    from viforsdes_tpu.ops.pallas.flash_fixed import flash_attention_dqfix
+
+    b, h, s, d = 1, 2, 512, 64
+    bs = BlockSizes(
+        block_q=128, block_k_major=128, block_k=128, block_b=1,
+        block_q_major_dkv=128, block_k_major_dkv=128, block_k_dkv=128,
+        block_q_dkv=128, block_k_major_dq=128, block_k_dq=128, block_q_dq=128,
+    )
+    kq, kk, kv, kc = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    ct = jax.random.normal(kc, (b, h, s, d), jnp.float32)
+    sm = 1.0 / d**0.5
+
+    def dense(q, k, v):
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * sm
+        return jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(logits, -1), v)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) * ct)
+
+    fix = lambda q, k, v: flash_attention_dqfix(q, k, v, sm_scale=sm, block_sizes=bs)
+    with pltpu.force_tpu_interpret_mode():
+        o_fix = fix(q, k, v)
+        g_fix = jax.grad(lambda *a: loss(fix, *a), argnums=(0, 1, 2))(q, k, v)
+    o_d = dense(q, k, v)
+    g_d = jax.grad(lambda *a: loss(dense, *a), argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_fix), np.asarray(o_d), atol=2e-6)
+    for a, b_ in zip(g_fix, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-6)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="real Mosaic kernel needs TPU")
 def test_flash_matches_dense_on_tpu():
     """Hardware tier: the real kernel vs dense SDPA at an odd long-grid shape."""

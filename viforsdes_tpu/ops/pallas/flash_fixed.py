@@ -1,24 +1,36 @@
-"""Fixed fork of the JAX Pallas TPU flash-attention backward (dq pass).
+"""Fixed fork of the JAX Pallas TPU flash-attention wiring (fwd + backward).
 
-Why this exists (round-3 trace, BASELINE.md): the library's
-``_flash_attention_bwd_dq`` broadcasts the ``di`` row-contraction to
-``(*di.shape, block_k_major)`` fp32 BEFORE the kernel launch
-(jax/experimental/pallas/ops/tpu/flash_attention.py:1316), but the kernel's
-``di_spec`` only ever reads a ``(block_q_major, MIN_BLOCK_SIZE)`` block of it
-— the index map ignores the kv grid axis. At our tuned 1024-wide blocks that
-materializes a never-read 1.07 GB HBM tensor per encoder block: 13.5 ms/step
-of the 186 ms Lorenz-63 train step. Shrinking ``block_k_major_dq`` instead
-costs more in dq-kernel grid overhead than it saves (measured end-to-end:
-194.3 vs 188.2 ms/step, benchmarks/profile_flash_dq.py), so the fix must keep
-the wide blocks and narrow only the broadcast.
+Two independent relayout fixes, both found by the round-3 per-op traces
+(BASELINE.md) and both changes to the HOST-side wiring only — every kernel
+body is unchanged library code:
 
-``flash_attention_dqfix`` mirrors the library's custom_vjp wiring exactly
-(same forward, same dkv backward) and swaps in the one-line-fixed dq pass
-below. The kernel body itself is unchanged library code
-(``_flash_attention_dq_kernel``).
+1. dq ``di`` broadcast (round-3 dq fix): the library's
+   ``_flash_attention_bwd_dq`` broadcasts the ``di`` row-contraction to
+   ``(*di.shape, block_k_major)`` fp32 BEFORE the kernel launch
+   (jax/experimental/pallas/ops/tpu/flash_attention.py:1316), but the
+   kernel's ``di_spec`` only ever reads a ``(block_q_major, MIN_BLOCK_SIZE)``
+   block of it — the index map ignores the kv grid axis. At our tuned
+   1024-wide blocks that materializes a never-read 1.07 GB HBM tensor per
+   encoder block: 13.5 ms/step of the 186 ms Lorenz-63 train step. Shrinking
+   ``block_k_major_dq`` instead costs more in dq-kernel grid overhead than it
+   saves (measured end-to-end: 194.3 vs 188.2 ms/step,
+   benchmarks/profile_flash_dq.py), so the fix keeps the wide blocks and
+   narrows only the broadcast.
 
-The fixed function body is copied from jax 0.8.x flash_attention.py
-(Apache-2.0) with the single ``di`` broadcast change marked FIX.
+2. ``lm128`` residual layout (round-3, second trace pass): the forward
+   kernel WRITES ``l``/``m`` as ``[B, H, S, MIN_BLOCK_SIZE]``, the library
+   then slices ``[..., 0]`` to ``[B, H, S]``, and the backward re-broadcasts
+   to ``[B, H, S, MIN_BLOCK_SIZE]`` for both the dkv and dq passes. Each
+   slice/broadcast is a minor-dim relayout (S-minor <-> lane-minor) — pure
+   HBM round-trips, ~15 ms/step of "data formatting" at the Lorenz shape
+   (trace_lorenz.json). This fork keeps ``l``/``m`` in the kernel-native
+   128-wide layout end-to-end, and computes ``di`` directly in that layout
+   with a ones-matmul (``(o*do) @ ones[D, 128]`` — an MXU op in the right
+   layout, instead of a reduce to ``[B, H, S]`` plus a relayouting
+   broadcast).
+
+The forked function bodies are copied from jax 0.8.x flash_attention.py
+(Apache-2.0) with the changes marked ``FIX``/``lm128 FIX``.
 """
 
 from __future__ import annotations
@@ -36,8 +48,10 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
     NUM_LANES,
     NUM_SUBLANES,
     BlockSizes,
-    _flash_attention_bwd_dkv,
+    _flash_attention_dkv_kernel,
     _flash_attention_dq_kernel,
+    _flash_attention_kernel,
+    _fwd_cost_estimate,
     _verify_block,
     _flash_attention_impl,
     below_or_on_diag,
@@ -60,8 +74,12 @@ def _flash_attention_fwd(
 ):
     if save_residuals:
         raise NotImplementedError("Higher-order AD not supported")
-    o, l, m = _flash_attention(
-        q, k, v, ab, segment_ids, True, causal, sm_scale, block_sizes, debug
+    # lm128 FIX: call the keep-128-wide impl directly (not through the
+    # custom_vjp primal, which would slice l/m to [B, H, S]).
+    o, l, m = _flash_attention_impl_lm128(
+        q, k, v, ab, segment_ids, True, causal, sm_scale,
+        block_sizes.block_b, block_sizes.block_q, block_sizes.block_k_major,
+        block_sizes.block_k, debug,
     )
     return o, (q, k, v, ab, segment_ids, o, l, m)
 
@@ -79,11 +97,20 @@ def _flash_attention_bwd(
             " specified"
         )
 
-    di = jnp.sum(
-        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
-    )  # [batch_size, num_heads, q_seq_len]
+    # lm128 FIX: compute di = sum_d(o * do) directly in the kernel-native
+    # [B, H, S, MIN_BLOCK_SIZE] layout via a ones-matmul — an MXU op whose
+    # output layout matches the di_spec blocks, instead of a reduce to
+    # [B, H, S] (S-minor) followed by a relayouting broadcast.
+    head_dim = q.shape[-1]
+    ones = jnp.ones((head_dim, MIN_BLOCK_SIZE), dtype=jnp.float32)
+    di = jax.lax.dot_general(
+        o.astype(jnp.float32) * do.astype(jnp.float32),
+        ones,
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [batch_size, num_heads, q_seq_len, MIN_BLOCK_SIZE], all lanes equal
 
-    dk, dv = _flash_attention_bwd_dkv(
+    dk, dv = _flash_attention_bwd_dkv_lm128(
         q, k, v, ab, segment_ids, l, m, do, di,
         block_q_major=block_sizes.block_q_major_dkv,
         block_k_major=block_sizes.block_k_major_dkv,
@@ -147,14 +174,14 @@ def _flash_attention_bwd_dq_fixed(
   _verify_block("block_k_major_dq", "kv_seq_len", block_k_major, kv_seq_len)
   _verify_block("block_k_dq", "block_k", block_k, kv_seq_len)
 
-  # Broadcast out scalar values
-  m = jnp.broadcast_to(m[..., None], (*m.shape, MIN_BLOCK_SIZE))
-  l = jnp.broadcast_to(l[..., None], (*l.shape, MIN_BLOCK_SIZE))
-  # Preprocess contraction for bwd pass
-  # FIX (round-3 trace, BASELINE.md): the kernel's di_spec reads only a
-  # MIN_BLOCK_SIZE-wide block (see below), so broadcasting to block_k_major
-  # width wrote 1.07 GB/block of never-read HBM at 1024-wide blocks.
-  di = jnp.broadcast_to(di[..., None], (*di.shape, MIN_BLOCK_SIZE))
+  # FIX (round-3 trace, BASELINE.md): the library broadcast di to
+  # block_k_major width here, but the kernel's di_spec reads only a
+  # MIN_BLOCK_SIZE-wide block (the index map ignores the kv grid axis) —
+  # 1.07 GB/block of never-read HBM at 1024-wide blocks.
+  # lm128 FIX: l, m, di now arrive already in the kernel-native
+  # [B, H, S, MIN_BLOCK_SIZE] layout (no broadcasts at all).
+  assert l.shape[-1] == MIN_BLOCK_SIZE and m.shape[-1] == MIN_BLOCK_SIZE
+  assert di.shape[-1] == MIN_BLOCK_SIZE
 
   grid = (
       batch_size,
@@ -317,3 +344,425 @@ def _flash_attention_bwd_dq_fixed(
 
   # dab is just ds
   return dq, ds
+
+
+# ---------------------------------------------------------------------------
+# Forked library functions (jax 0.8.x flash_attention.py, Apache-2.0), with
+# the lm128 changes marked. Kernel bodies are imported, not copied.
+# ---------------------------------------------------------------------------
+
+
+def _flash_attention_impl_lm128(
+    q,
+    k,
+    v,
+    ab,
+    segment_ids,
+    save_residuals,
+    causal,
+    sm_scale,
+    block_b,
+    block_q,
+    block_k_major,
+    block_k,
+    debug,
+):
+  batch_size, num_heads, q_seq_len, head_dim = q.shape
+  _, _, kv_seq_len, _ = k.shape
+  _verify_block("block_q", "q_seq_len", block_q, q_seq_len, should_divide=False)
+  _verify_block("block_k_major", "kv_seq_len", block_k_major, kv_seq_len)
+  _verify_block("block_k", "kv_seq_len", block_k, kv_seq_len)
+  _verify_block("block_b", "batch", block_b, batch_size, should_divide=False)
+
+  # TODO(apaszke): Tile over heads as well.
+  grid = (
+      pl.cdiv(batch_size, block_b),
+      num_heads,
+      pl.cdiv(q_seq_len, block_q),
+      kv_seq_len // block_k_major,
+  )
+
+  def q_index_map(batch_index, head_index, q_seq_index, _):
+    return (batch_index, head_index, q_seq_index, 0)
+
+  def kv_index_map(batch_index, head_index, q_seq_index, kv_seq_index):
+    if causal:
+      # If the kv block is skipped, prefetch the next valid kv block, i.e. the
+      # 0th one to be used for the next block_q rows.
+      next_kv_index = lax.select(
+          below_or_on_diag(q_seq_index, block_q, kv_seq_index, block_k_major),
+          kv_seq_index,
+          0,
+      )
+    else:
+      next_kv_index = kv_seq_index
+    return (batch_index, head_index, next_kv_index, 0)
+
+  def ab_index_map(batch_index, head_index, q_seq_index, kv_seq_index):
+    if causal:
+      should_run = below_or_on_diag(
+          q_seq_index, block_q, kv_seq_index, block_k_major
+      )
+      # If the ab block is skipped, prefetch the next valid ab block, i.e. the
+      # 0th kv to be used for the next block_q rows.
+      next_q_index = lax.select(
+          should_run,
+          q_seq_index,
+          lax.select(
+              q_seq_index == (q_seq_len // block_q) - 1, 0, q_seq_index + 1
+          ),
+      )
+      next_kv_index = lax.select(should_run, kv_seq_index, 0)
+    else:
+      next_q_index = q_seq_index
+      next_kv_index = kv_seq_index
+
+    return (batch_index, head_index, next_q_index, next_kv_index)
+
+  def o_index_map(batch_index, head_index, q_seq_index, _):
+    return (batch_index, head_index, q_seq_index, 0)
+
+  def lm_index_map(batch_index, head_index, q_seq_index, _):
+    return (batch_index, head_index, q_seq_index, 0)
+
+  kernel = functools.partial(
+      _flash_attention_kernel,
+      causal=causal,
+      mask_value=DEFAULT_MASK_VALUE,
+      sm_scale=sm_scale,
+      block_k=block_k,
+      kv_seq_len=kv_seq_len,
+  )
+  out_shape = jax.ShapeDtypeStruct(shape=q.shape, dtype=q.dtype)
+  out_shape = [out_shape]
+  out_specs = [pl.BlockSpec((block_b, 1, block_q, head_dim), o_index_map)]
+
+  if block_k != kv_seq_len:
+    m_scratch = pltpu.VMEM((block_b, 1, block_q, MIN_BLOCK_SIZE), jnp.float32)
+    l_scratch = pltpu.VMEM((block_b, 1, block_q, MIN_BLOCK_SIZE), jnp.float32)
+    acc_scratch = pltpu.VMEM((block_b, 1, block_q, head_dim), jnp.float32)
+    scratch_shapes = [m_scratch, l_scratch, acc_scratch]
+  else:
+    scratch_shapes = []
+
+  if save_residuals:
+    out_specs = [
+        *out_specs,
+        pl.BlockSpec((block_b, 1, block_q, MIN_BLOCK_SIZE), lm_index_map),
+        pl.BlockSpec((block_b, 1, block_q, MIN_BLOCK_SIZE), lm_index_map),
+    ]
+    l = jax.ShapeDtypeStruct(
+        (batch_size, num_heads, q_seq_len, MIN_BLOCK_SIZE), dtype=jnp.float32
+    )
+    m = jax.ShapeDtypeStruct(
+        (batch_size, num_heads, q_seq_len, MIN_BLOCK_SIZE), dtype=jnp.float32
+    )
+    out_shape = (*out_shape, l, m)
+  else:
+    out_specs = [*out_specs, None, None]
+    out_shape = (*out_shape, None, None)
+
+  ab_block_spec = (
+      pl.BlockSpec((block_b, 1, block_q, block_k_major), ab_index_map)
+      if ab is not None else None)
+
+  q_segment_ids_spec = kv_segment_ids_spec = None
+  q_segment_ids = kv_segment_ids = None
+  if segment_ids is not None:
+
+    def q_segment_ids_index_map(batch_index, head_index, q_seq_index, _):
+      del head_index
+      return (batch_index, q_seq_index, 0)
+
+    def kv_segment_ids_index_map(
+        batch_index, head_index, q_seq_index, kv_seq_index
+    ):
+      del head_index
+      if causal:
+        next_kv_index = lax.select(
+            below_or_on_diag(q_seq_index, block_q, kv_seq_index, block_k_major),
+            kv_seq_index,
+            0,
+        )
+      else:
+        next_kv_index = kv_seq_index
+      return (batch_index, 0, next_kv_index)
+
+    q_segment_ids_spec = pl.BlockSpec(
+        (block_b, block_q, NUM_LANES), q_segment_ids_index_map
+    )
+    kv_segment_ids_spec = pl.BlockSpec(
+        (block_b, NUM_SUBLANES, block_k_major), kv_segment_ids_index_map
+    )
+
+    q_segment_ids = jax.lax.broadcast_in_dim(
+        segment_ids.q,
+        (batch_size, q_seq_len, NUM_LANES),
+        (
+            0,
+            1,
+        ),
+    )
+    kv_segment_ids = jax.lax.broadcast_in_dim(
+        segment_ids.kv,
+        (batch_size, NUM_SUBLANES, kv_seq_len),
+        (
+            0,
+            2,
+        ),
+    )
+
+  in_specs = [
+      pl.BlockSpec((block_b, 1, block_q, head_dim), q_index_map),
+      pl.BlockSpec((block_b, 1, block_k_major, head_dim), kv_index_map),
+      pl.BlockSpec((block_b, 1, block_k_major, head_dim), kv_index_map),
+      ab_block_spec,
+      q_segment_ids_spec,
+      kv_segment_ids_spec,
+  ]
+
+  o, *aux = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=0,
+          grid=grid,
+          in_specs=in_specs,
+          out_specs=out_specs,
+          scratch_shapes=scratch_shapes,
+      ),
+      out_shape=out_shape,
+      debug=debug,
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=(
+              "parallel",
+              "parallel",
+              "parallel",
+              "arbitrary",
+          )
+      ),
+      cost_estimate=_fwd_cost_estimate(
+          q,
+          k,
+          v,
+          ab,
+          segment_ids,
+          causal=causal,
+          sm_scale=sm_scale,
+          kernel_inputs_specs=(q, k, v, ab, q_segment_ids, kv_segment_ids),
+          kernel_outputs_specs=out_shape,
+      ),
+  )(q, k, v, ab, q_segment_ids, kv_segment_ids)
+  if save_residuals:
+    # lm128 FIX: keep l/m in the kernel-native [B, H, S, MIN_BLOCK_SIZE]
+    # layout instead of slicing to [B, H, S] (the library slices here and
+    # the backward re-broadcasts: two pure relayouts per residual per
+    # block, ~15 ms/step of 'data formatting' at the Lorenz shape,
+    # trace_lorenz.json).
+    l, m = aux[-2:]
+    return (o, l, m)
+  else:
+    return o
+
+
+def _flash_attention_bwd_dkv_lm128(
+    q,
+    k,
+    v,
+    ab,
+    segment_ids,
+    l,
+    m,
+    do,
+    di,
+    *,
+    block_q_major: int | None,
+    block_q: int | None,
+    block_k_major: int | None,
+    block_k: int | None,
+    sm_scale: float,
+    causal: bool = False,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    debug: bool = False,
+):
+  batch_size, num_heads, q_seq_len, head_dim = q.shape
+  _, _, kv_seq_len, _ = k.shape
+  _verify_block("block_q_major_dkv", "q_seq_len", block_q_major, q_seq_len)
+  _verify_block("block_q_dkv", "q_seq_len", block_q, q_seq_len)
+  _verify_block("block_k_major_dkv", "kv_seq_len", block_k_major, kv_seq_len)
+  _verify_block("block_k_dkv", "kv_seq_len", block_k, kv_seq_len)
+
+  # lm128 FIX: l, m, di arrive already in the kernel-native
+  # [B, H, S, MIN_BLOCK_SIZE] layout (no broadcasts here).
+  assert l.shape[-1] == MIN_BLOCK_SIZE and m.shape[-1] == MIN_BLOCK_SIZE
+  assert di.shape[-1] == MIN_BLOCK_SIZE
+
+  # kv index needs to be before q index since q index is the contractng
+  # dimension.
+  grid = (
+      batch_size,
+      num_heads,
+      kv_seq_len // block_k_major,
+      q_seq_len // block_q_major,
+  )
+
+  def qo_index_map(batch_index, head_index, kv_seq_index, q_seq_index):
+    if causal:
+      # If the q block is skipped, stay at the 0th q block.
+      next_q_index = lax.select(
+          below_or_on_diag(
+              q_seq_index, block_q_major, kv_seq_index, block_k_major
+          ),
+          q_seq_index,
+          0,
+      )
+    else:
+      next_q_index = q_seq_index
+
+    return (batch_index, head_index, next_q_index, 0)
+
+  qo_spec = pl.BlockSpec((1, 1, block_q_major, head_dim), qo_index_map)
+  assert qo_spec.block_shape is not None
+  assert q.ndim == len(qo_spec.block_shape)
+  do_spec = qo_spec
+  assert do.ndim == len(qo_spec.block_shape)
+
+  def kv_index_map(batch_index, head_index, kv_seq_index, _):
+    return (batch_index, head_index, kv_seq_index, 0)
+
+  kv_spec = pl.BlockSpec((1, 1, block_k_major, head_dim), kv_index_map)
+  assert kv_spec.block_shape is not None
+  assert k.ndim == len(kv_spec.block_shape)
+  assert v.ndim == len(kv_spec.block_shape)
+
+  def lm_index_map(batch_index, head_index, _, q_seq_index):
+    return (batch_index, head_index, q_seq_index, 0)
+
+  lm_spec = pl.BlockSpec((1, 1, block_q_major, MIN_BLOCK_SIZE), lm_index_map)
+  assert lm_spec.block_shape is not None
+  assert l.ndim == len(lm_spec.block_shape)
+  assert m.ndim == len(lm_spec.block_shape)
+
+  di_spec = pl.BlockSpec((1, 1, block_q_major, MIN_BLOCK_SIZE), qo_index_map)
+  assert di_spec.block_shape is not None
+  assert di.ndim == len(di_spec.block_shape)
+
+  def ab_index_map(batch_index, head_index, kv_seq_index, q_seq_index):
+    return (batch_index, head_index, q_seq_index, kv_seq_index)
+
+  dab_spec = (
+      pl.BlockSpec((1, 1, block_q_major, block_k_major), ab_index_map)
+      if ab is not None
+      else None
+  )
+
+  q_segment_ids_spec = kv_segment_ids_spec = None
+  q_segment_ids = kv_segment_ids = None
+  if segment_ids is not None:
+
+    def q_segment_ids_index_map(
+        batch_index, head_index, kv_seq_index, q_seq_index
+    ):
+      del head_index
+      if causal:
+        next_q_index = lax.select(
+            below_or_on_diag(
+                q_seq_index, block_q_major, kv_seq_index, block_k_major
+            ),
+            q_seq_index,
+            0,
+        )
+      else:
+        next_q_index = q_seq_index
+      return (batch_index, next_q_index, 0)
+
+    def kv_segment_ids_index_map(batch_index, head_index, kv_seq_index, _):
+      del head_index
+      return (batch_index, 0, kv_seq_index)
+
+    q_segment_ids_spec = pl.BlockSpec(
+        (1, block_q_major, NUM_LANES), q_segment_ids_index_map
+    )
+    kv_segment_ids_spec = pl.BlockSpec(
+        (1, NUM_SUBLANES, block_k_major), kv_segment_ids_index_map
+    )
+
+    q_segment_ids = jax.lax.broadcast_in_dim(
+        segment_ids.q,
+        (batch_size, q_seq_len, NUM_LANES),
+        (
+            0,
+            1,
+        ),
+    )
+    kv_segment_ids = jax.lax.broadcast_in_dim(
+        segment_ids.kv,
+        (batch_size, NUM_SUBLANES, kv_seq_len),
+        (
+            0,
+            2,
+        ),
+    )
+
+  in_specs = [
+      qo_spec,
+      kv_spec,
+      kv_spec,
+      dab_spec,
+      q_segment_ids_spec,
+      kv_segment_ids_spec,
+      lm_spec,
+      lm_spec,
+      do_spec,
+      di_spec,
+  ]
+
+  out_shapes = [
+      jax.ShapeDtypeStruct((batch_size, num_heads, kv_seq_len, head_dim),
+                           k.dtype),
+      jax.ShapeDtypeStruct((batch_size, num_heads, kv_seq_len, head_dim),
+                           v.dtype),
+  ]
+  def dkv_index_map(batch_index, head_index, kv_seq_index, _):
+    return (batch_index, head_index, kv_seq_index, 0)
+
+  dkv_spec = pl.BlockSpec((1, 1, block_k_major, head_dim), dkv_index_map)
+  out_specs = [dkv_spec, dkv_spec]
+  scratch_shapes = [
+      pltpu.VMEM((block_k_major, head_dim), jnp.float32),  # type: ignore
+      pltpu.VMEM((block_k_major, head_dim), jnp.float32),  # type: ignore
+  ]
+
+  kernel = functools.partial(
+      _flash_attention_dkv_kernel,
+      block_q=block_q,  # type: ignore
+      block_k=block_k,  # type: ignore
+      sm_scale=sm_scale,
+      causal=causal,
+      mask_value=mask_value,
+      q_seq_len=q_seq_len,
+  )
+  name_scope = f"flash_mha_bwd_dkv_{block_q_major=}_{block_q=}_{block_k_major=}_{block_k=}"
+  with jax.named_scope(name_scope):
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=out_shapes,
+        debug=debug,
+        compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel",
+                    "parallel",
+                    "parallel",
+                    "arbitrary",
+                )
+        ),
+    )(q, k, v, ab, q_segment_ids, kv_segment_ids, l, m, do, di)
+    assert dk.shape == k.shape
+    assert dv.shape == v.shape
+  return dk, dv
