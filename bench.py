@@ -44,7 +44,11 @@ PEAK_FLOPS = {"tpu v5e": 197e12, "tpu v5 lite": 197e12, "tpu v5p": 459e12,
 DEFAULT_PEAK = 197e12
 
 WARMUP_STEPS = 5
-WINDOW_STEPS = 20
+# 100 steps/window = 5 queued chunk dispatches: block_until_ready only at the
+# window edge, so the host->device RTT overlaps device execution instead of
+# being exposed once per chunk (measured: 1 chunk/window 13.2 ms/step vs 5
+# chunks/window 9.68 ms/step, benchmarks/profile_dispatch.py).
+WINDOW_STEPS = 100
 N_WINDOWS = 7
 
 # Steps per dispatch. The trainer's scan-chunked dispatch (steps_per_call,

@@ -1,15 +1,28 @@
 """Flash-attention dispatch and padding/masking logic.
 
-The Mosaic kernel itself only runs on TPU (covered by TPU-gated parity in
-benchmarks + the Lorenz ladder); these tests validate everything around it on
-CPU: the pad-to-block + segment-mask + unpad plumbing against dense SDPA, and
-the static dispatch rule.
+Two-tier strategy (SURVEY §4), with each test pinned to its tier:
+
+- CPU tier (default ``pytest tests/``): pad/mask/unpad plumbing against dense
+  SDPA with an injected dense impl, interpret-mode kernel parity, dispatch
+  rules. Marked ``cpu_tier`` — these assume CPU fp32 matmul numerics (exact)
+  and interpret-mode support; on the TPU backend fp32 matmuls round through
+  the MXU (~6e-3 rel on worst elements, measured round 3) and interpret mode
+  is not the execution path, so they SKIP there rather than fail on
+  tolerances they were never calibrated for.
+- Hardware tier (``VIFORSDES_TEST_TPU=1 pytest tests/test_flash_attention.py``
+  on a chip): the real Mosaic kernels (incl. the dqfix+lm128 fork wiring) vs
+  dense SDPA, forward AND backward, at odd long-grid shapes.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+cpu_tier = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="CPU-tier test: calibrated for exact fp32 matmuls / interpret mode",
+)
 
 from viforsdes_tpu.ops.flash_attention import (
     _FLASH_BLOCK,
@@ -36,6 +49,7 @@ def test_block_size_divides_padded_length(seq_len):
 
 
 @pytest.mark.parametrize("seq_len", [37, 512, 513, 1000])
+@cpu_tier
 def test_padding_and_masking_matches_dense_sdpa(seq_len):
     """flash_sdpa's pad/mask/unpad around a dense impl == plain SDPA."""
     key = jax.random.key(0)
@@ -50,6 +64,7 @@ def test_padding_and_masking_matches_dense_sdpa(seq_len):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@cpu_tier
 def test_padded_gradients_match_dense_sdpa():
     """Pad tokens must not leak gradient into real tokens."""
     key = jax.random.key(1)
@@ -67,12 +82,14 @@ def test_padded_gradients_match_dense_sdpa():
     np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_dense), atol=2e-5)
 
 
+@cpu_tier
 def test_dispatch_is_off_on_cpu():
     assert jax.default_backend() == "cpu"
     assert not use_flash_attention(FLASH_SEQ_THRESHOLD + 1)
     assert not use_flash_attention(100)
 
 
+@cpu_tier
 def test_splash_interpret_matches_dense():
     """The opt-in splash backend (interpret mode): padded + masked non-causal
     attention matches dense SDPA, forward and gradient."""
@@ -102,6 +119,7 @@ def test_splash_interpret_matches_dense():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=3e-5)
 
 
+@cpu_tier
 def test_splash_interpret_odd_block_multiple():
     """Splash at a padded length that is NOT a multiple of 1024 (1100 -> 1536):
     the kernel must pick 512-wide blocks and not drop the 512-token tail."""
@@ -123,6 +141,7 @@ def test_splash_interpret_odd_block_multiple():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+@cpu_tier
 def test_dqfix_lm128_fork_matches_dense_interpret():
     """The forked flash wiring (dq di-fix + lm128 residual layout,
     ops/pallas/flash_fixed.py) == dense SDPA, values AND all three input
@@ -210,6 +229,7 @@ def test_flash_backward_matches_dense_on_tpu(s):
         assert float(jnp.max(jnp.abs(gf32 - gd32))) / scale < 3e-2
 
 
+@cpu_tier
 def test_no_padding_when_block_aligned():
     """S already a multiple of the block: no segment ids, plain call."""
     calls = {}

@@ -68,13 +68,13 @@ def apply_rope_1d(x: Array, tables: RotaryTables) -> Array:
     Uses the reference's split-halves complex layout: ``rot = x[..., :2F]`` with
     real = ``rot[..., :F]``, imag = ``rot[..., F:]``; dims past ``2F`` pass through.
 
-    Computed in the FULL-WIDTH form ``x*cos2 + swap_sign(x)*sin2`` (tables
-    duplicated to ``2F`` lanes, the swapped/negated operand built once) rather
-    than as two F-wide half streams: with F=32 a half tensor occupies 25% of a
-    TPU (8,128) tile, and the round-3 Lorenz trace showed the halved RoPE
-    streams running at ~157 GB/s (8x 1.16 ms/step of ``bf16[32,4,2001,32]``
-    loop fusions, trace_lorenz.json). Element-for-element the arithmetic is
-    identical (``r*cos - i*sin`` == ``r*cos + (-i)*sin``).
+    Kept in the two-half-streams form deliberately: a "full-width" rewrite
+    (``x*cos2 + swap_sign(x)*sin2`` on the 2F-wide tensor) aimed at the F=32
+    tile-padding waste MEASURED WORSE on device — Lorenz loop-fusion bucket
+    52.5 -> 73.1 ms/step (trace_lorenz_r3fix.json vs _ropehalves.json): the
+    swapped full-width operand broke XLA's fusion of RoPE into the adjacent
+    converts and doubled the streamed bytes. The halves form is what XLA
+    fuses best here.
     """
     seq_len = x.shape[-2]
     if seq_len > tables.length:
@@ -82,16 +82,13 @@ def apply_rope_1d(x: Array, tables: RotaryTables) -> Array:
     n_freqs = tables.cos.shape[-1]
     rot_dim = 2 * n_freqs
     rot, remainder = x[..., :rot_dim], x[..., rot_dim:]
-    rot = rot.astype(jnp.float32)
     cos = tables.cos[:seq_len]
     sin = tables.sin[:seq_len]
-    cos2 = jnp.concatenate([cos, cos], axis=-1)  # [S, 2F]
-    sin2 = jnp.concatenate([sin, sin], axis=-1)
-    # swap_sign(x) = [-imag, real]: the one lane permutation, negated in place
-    swapped = jnp.concatenate(
-        [-rot[..., n_freqs:], rot[..., :n_freqs]], axis=-1
-    )
-    rotated = (rot * cos2 + swapped * sin2).astype(x.dtype)
+    real = rot[..., :n_freqs].astype(jnp.float32)
+    imag = rot[..., n_freqs:].astype(jnp.float32)
+    out_real = real * cos - imag * sin
+    out_imag = real * sin + imag * cos
+    rotated = jnp.concatenate([out_real, out_imag], axis=-1).astype(x.dtype)
     if remainder.shape[-1] == 0:
         return rotated
     return jnp.concatenate([rotated, remainder], axis=-1)
