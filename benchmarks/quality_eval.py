@@ -246,6 +246,7 @@ def run_highdim(
     iw_samples: int = 1,
     full_cov: bool = False,
     batch_size: int = 1024,
+    grad_accum_steps: int = 1,
     name: str = "highdim",
 ) -> dict:
     """Ladder config 5 quality (single chip; DP mechanics covered by
@@ -273,6 +274,7 @@ def run_highdim(
                 time_step=0.05, batch_size=batch_size, n_iterations=n_iterations,
                 theta_warmup_steps=500,
                 iw_samples=iw_samples, theta_full_covariance=full_cov,
+                grad_accum_steps=grad_accum_steps,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=128, num_layers=2),
@@ -415,6 +417,7 @@ if __name__ == "__main__":
         for flag, cast, key in [
             ("--iw", int, "iw_samples"),
             ("--batch", int, "batch_size"),
+            ("--accum", int, "grad_accum_steps"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:

@@ -368,6 +368,58 @@ class TestChunkedDispatch:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+class TestGradAccumulation:
+    def test_accum_step_matches_manual_microbatch_mean(self):
+        """grad_accum_steps=2 == mean of the two microbatch gradients (same
+        fold_in key schedule), applied through the same optimizer."""
+        import optax
+
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=1, grad_accum_steps=2,
+        )
+        trainer = _make_trainer(train_config=cfg)
+        key = jax.random.fold_in(trainer._train_key, 0)
+
+        def loss(params, k):
+            r = trainer._elbo_from_params(params, k, 4)
+            return -r.evidence_lower_bound
+
+        g0 = jax.grad(loss)(trainer.params, jax.random.fold_in(key, 0))
+        g1 = jax.grad(loss)(trainer.params, jax.random.fold_in(key, 1))
+        g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+        updates, _ = trainer.optimizer.update(
+            g_mean, trainer.opt_state, trainer.params
+        )
+        want_params = optax.apply_updates(trainer.params, updates)
+
+        got_params, _, _, metrics = trainer._step_math(
+            trainer.params, trainer.opt_state, trainer.ema_params, key, None
+        )
+        for a, b in zip(jax.tree.leaves(got_params), jax.tree.leaves(want_params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+        assert np.isfinite(float(metrics.elbo))
+
+    def test_accum_train_runs(self):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=3, grad_accum_steps=4,
+            iw_samples=2,
+        )
+        trainer = _make_trainer(train_config=cfg)
+        state = trainer.train()
+        assert all(np.isfinite(v) for v in state.evidence_lower_bound_history)
+
+    def test_validators(self):
+        with pytest.raises(ValueError):
+            TrainingConfig(time_step=0.25, batch_size=8, n_iterations=1,
+                           grad_accum_steps=3)
+        with pytest.raises(ValueError):
+            # microbatch 4 not divisible by iw 8
+            TrainingConfig(time_step=0.25, batch_size=16, n_iterations=1,
+                           grad_accum_steps=4, iw_samples=8)
+
+
 class TestTrainer:
     def test_train_runs_and_tracks_history(self):
         trainer = _make_trainer(n_iterations=5)

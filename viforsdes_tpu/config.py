@@ -82,6 +82,14 @@ class TrainingConfig(YamlConfig):
     # contributes to its overconfident marginal CIs (BASELINE.md Lorenz
     # diagnosis); the coupling adds P(P-1)/2 parameters — free at P <= a few.
     theta_full_covariance: bool = False
+    # Gradient accumulation: split the batch into grad_accum_steps sequential
+    # microbatches inside the jitted step (lax.scan), averaging gradients and
+    # metrics. Mathematically EXACT for this objective (the ELBO/IWAE bound is
+    # a mean over theta groups, and groups never span microbatches), so the
+    # global batch's gradient is reproduced with 1/grad_accum_steps of the
+    # activation memory — e.g. the ladder-5 global batch 4096 on one 16 GB
+    # v5e chip (batch 4096 un-accumulated needs 29 GB, measured round 3).
+    grad_accum_steps: int = 1
 
     @field_validator("theta_warmup_steps")
     @classmethod
@@ -104,10 +112,25 @@ class TrainingConfig(YamlConfig):
             raise ValueError("steps_per_call must be >= 0 (0 = auto)")
         return v
 
+    @field_validator("grad_accum_steps")
+    @classmethod
+    def validate_grad_accum_steps(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError("grad_accum_steps must be >= 1")
+        return v
+
     @model_validator(mode="after")
     def validate_iw_divides_batch(self) -> "TrainingConfig":
         if self.batch_size % self.iw_samples != 0:
             raise ValueError("batch_size must be divisible by iw_samples")
+        if self.batch_size % self.grad_accum_steps != 0:
+            raise ValueError("batch_size must be divisible by grad_accum_steps")
+        micro = self.batch_size // self.grad_accum_steps
+        if micro % self.iw_samples != 0:
+            raise ValueError(
+                "microbatch (batch_size / grad_accum_steps) must be divisible "
+                "by iw_samples (importance groups cannot span microbatches)"
+            )
         return self
 
     @field_validator("time_step", "learning_rate", "sde_param_lr", "grad_clip_norm")

@@ -301,12 +301,48 @@ class VariationalInferenceTrainer:
         """One optimizer step (shared by the single-step and scan-chunked
         dispatch paths — identical math, so chunking cannot drift)."""
         batch_size = self.config.batch_size
+        accum = self.config.grad_accum_steps
+        micro = batch_size // accum
 
         def loss_fn(params: dict, key: Array):
-            result = self._elbo_from_params(params, key, batch_size)
+            result = self._elbo_from_params(params, key, micro)
             return -result.evidence_lower_bound, result
 
-        (_, result), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        if accum == 1:
+            (_, result), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key
+            )
+        else:
+            # Exact gradient accumulation (config.grad_accum_steps): the
+            # objective is a mean over theta groups and groups never span
+            # microbatches, so averaging microbatch gradients reproduces the
+            # full-batch gradient with 1/accum of the activation memory.
+            res_shape = jax.eval_shape(
+                lambda p, k: loss_fn(p, k)[1], params, key
+            )
+            init = (
+                jax.tree.map(jnp.zeros_like, params),
+                jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), res_shape
+                ),
+            )
+
+            def acc_body(carry, i):
+                g_acc, r_acc = carry
+                k_i = jax.random.fold_in(key, i)
+                (_, res), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, k_i
+                )
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, r_acc, res),
+                ), None
+
+            (g_sum, r_sum), _ = jax.lax.scan(
+                acc_body, init, jnp.arange(accum), length=accum
+            )
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            result = jax.tree.map(lambda r: r / accum, r_sum)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         if theta_scale is not None:

@@ -34,6 +34,7 @@ from viforsdes_tpu.ops.initializers import (
     zeros_init,
 )
 from viforsdes_tpu.ops.norms import rms_norm
+from viforsdes_tpu.ops.pallas.qk_prep import qk_prep
 
 Array = jax.Array
 
@@ -136,17 +137,35 @@ def attention(
         k = k.reshape(b, s, h, d)
         v = v.reshape(b, s, h, d)
 
-    if cfg.qk_norm:
-        q = rms_norm(q, eps=cfg.qk_norm_eps)
-        k = rms_norm(k, eps=cfg.qk_norm_eps)
-
-    if native:
-        # already [B, H, S, D], the layout apply_rope_1d expects
-        q = apply_rope_1d(q, rotary) if rotary is not None else q
-        k = apply_rope_1d(k, rotary) if rotary is not None else k
+    # QK-RMS-norm + RoPE. On the TPU flash path both fuse into ONE Pallas
+    # pass per tensor (ops/pallas/qk_prep.py): XLA's unfused compilation
+    # streams fp32 intermediates at the fusion boundaries (~1.16 ms/block fwd
+    # + ~1.4 bwd at the Lorenz shape, ~18 ms/step total — trace_lorenz_
+    # ropehalves.json) where one read + one write costs ~0.2 ms.
+    # VIFORSDES_QK_PREP=0 reverts to the unfused composition (trace-time).
+    fuse_prep = (
+        native
+        and cfg.qk_norm
+        and rotary is not None
+        and rotary.cos.shape[-1] * 2 == d
+        and jax.default_backend() == "tpu"
+        and os.environ.get("VIFORSDES_QK_PREP", "1") != "0"
+    )
+    if fuse_prep:
+        cos, sin = rotary.cos[:s], rotary.sin[:s]
+        q = qk_prep(q, cos, sin, cfg.qk_norm_eps)
+        k = qk_prep(k, cos, sin, cfg.qk_norm_eps)
     else:
-        q = _rope_heads(q, rotary)
-        k = _rope_heads(k, rotary)
+        if cfg.qk_norm:
+            q = rms_norm(q, eps=cfg.qk_norm_eps)
+            k = rms_norm(k, eps=cfg.qk_norm_eps)
+        if native:
+            # already [B, H, S, D], the layout apply_rope_1d expects
+            q = apply_rope_1d(q, rotary) if rotary is not None else q
+            k = apply_rope_1d(k, rotary) if rotary is not None else k
+        else:
+            q = _rope_heads(q, rotary)
+            k = _rope_heads(k, rotary)
 
     if cfg.residual_v and v0 is not None:
         if v0.shape != v.shape:
