@@ -247,11 +247,22 @@ def run_highdim(
     full_cov: bool = False,
     batch_size: int = 1024,
     grad_accum_steps: int = 1,
+    obs_every: float = 0.25,
+    obs_variance: float = 0.1,
+    warmup: int = 500,
+    init_std: float = 0.5,
     name: str = "highdim",
 ) -> dict:
     """Ladder config 5 quality (single chip; DP mechanics covered by
     tests/test_parallel.py and dryrun_multichip): OU d=32, recovery of the
-    shared (kappa, mu, sigma) against the generating theta."""
+    shared (kappa, mu, sigma) against the generating theta.
+
+    Round-3 note on obs_variance: the simulated observations are NOISELESS
+    trajectory values, but the round-2 run told the likelihood variance=0.1 —
+    larger than a segment's own diffusion variance (sigma^2 * 0.25 ~ 0.06), so
+    the ELBO could book real path variation as observation noise, which is
+    exactly the measured failure (sigma 0.26 vs true 0.5). A small claimed
+    variance (0.01, matching run_ou_synthetic) pins the paths to the data."""
     import jax
     from highdim_ou_dp import HighDimOU, simulate_observations
 
@@ -261,35 +272,50 @@ def run_highdim(
     # theta collapsed toward weak dynamics (kappa 1.06 -> 0.31-0.37) despite a
     # near-truth pretrain — the same degenerate-basin failure documented for
     # Lorenz-63 in BASELINE.md.
-    observations = simulate_observations(jax.random.key(3), obs_every=0.25)
+    observations = simulate_observations(jax.random.key(3), obs_every=obs_every)
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=HighDimOU(),
         observations=observations,
-        observation_likelihood=vt.GaussianObservationLikelihood(variance=0.1),
+        observation_likelihood=vt.GaussianObservationLikelihood(variance=obs_variance),
         prior=vt.Prior(type=vt.PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
         time_horizon=5.0,
         config=vt.InferenceConfig(
             training=vt.TrainingConfig(
                 time_step=0.05, batch_size=batch_size, n_iterations=n_iterations,
-                theta_warmup_steps=500,
+                theta_warmup_steps=warmup,
                 iw_samples=iw_samples, theta_full_covariance=full_cov,
                 grad_accum_steps=grad_accum_steps,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=128, num_layers=2),
             sde_param_positive_dims=[0, 2],
-            sde_param_init_std=0.5,
+            sde_param_init_std=init_std,
             param_names=["kappa", "mu", "sigma"],
             pretrain=vt.PretrainConfig(),
             console=vt.Console(enabled=False),
         ),
     )
     elapsed = time.perf_counter() - t0
-    return _summarize(
+    result = _summarize(
         name, posterior, ["kappa", "mu", "sigma"], n_iterations, elapsed,
         true_params=true_theta,
     )
+    result["config"] = {
+        "obs_every": obs_every,
+        "obs_variance": obs_variance,
+        "iw_samples": iw_samples,
+        "theta_full_covariance": full_cov,
+        "batch_size": batch_size,
+        "theta_warmup_steps": warmup,
+        "sde_param_init_std": init_std,
+        "head_dim": 128,
+        "pretrain_global_objective": vt.PretrainConfig().global_objective,
+    }
+    (Path(__file__).parent / f"results_{name}.json").write_text(
+        json.dumps(result, indent=2)
+    )
+    return result
 
 
 def run_lorenz(
@@ -418,6 +444,10 @@ if __name__ == "__main__":
             ("--iw", int, "iw_samples"),
             ("--batch", int, "batch_size"),
             ("--accum", int, "grad_accum_steps"),
+            ("--obs-every", float, "obs_every"),
+            ("--obs-variance", float, "obs_variance"),
+            ("--warmup", int, "warmup"),
+            ("--init-std", float, "init_std"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:

@@ -368,6 +368,38 @@ class TestChunkedDispatch:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+class TestNonFiniteSkip:
+    def test_nan_gradient_skips_update_then_recovers(self):
+        """One NaN gradient must leave params AND Adam moments untouched
+        (round-3 regression: clip_by_global_norm propagates a single NaN into
+        every parameter; the 91-min highdim ladder run ended all-NaN), and the
+        next finite gradient must apply normally."""
+        import optax
+
+        from viforsdes_tpu.inference.optimizer import make_optimizer
+
+        opt = make_optimizer(TrainingConfig(time_step=0.25, batch_size=8, n_iterations=1))
+        params = {
+            "theta": {"mean": jnp.ones(3)},
+            "enc": {"w": jnp.ones((2, 2))},
+        }
+        state = opt.init(params)
+
+        bad = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan), params)
+        updates, state = opt.update(bad, state, params)
+        for leaf in jax.tree.leaves(updates):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+        good = jax.tree.map(jnp.ones_like, params)
+        updates, state = opt.update(good, state, params)
+        assert all(
+            np.all(np.isfinite(np.asarray(leaf))) and np.any(np.asarray(leaf) != 0)
+            for leaf in jax.tree.leaves(updates)
+        )
+        new_params = optax.apply_updates(params, updates)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(new_params))
+
+
 class TestGradAccumulation:
     def test_accum_step_matches_manual_microbatch_mean(self):
         """grad_accum_steps=2 == mean of the two microbatch gradients (same
@@ -583,6 +615,48 @@ class TestTrainer:
         m_hat = float(mu[1])
         assert abs(kappa_hat - true_kappa) < 0.5, kappa_hat
         assert abs(m_hat - true_m) < 0.25, m_hat
+        # The NLL segment objective (default) identifies the DIFFUSION param
+        # too: sigma only enters the diffusion, so endpoint MSE is flat in it
+        # (the round-3 highdim NaN divergence started from the resulting
+        # arbitrary box-center sigma). Segment quadratic variation pins it.
+        sigma_hat = float(np.exp(mu[2]))
+        assert 0.5 * true_sigma < sigma_hat < 2.0 * true_sigma, sigma_hat
+
+    def test_pretrain_global_mse_objective_is_flat_in_sigma(self):
+        """global_objective='mse' (legacy) still runs and recovers the drift
+        params; its sigma estimate is NOT asserted (flat direction)."""
+        sde = _ou_sde()
+        from viforsdes_tpu.core.solvers import euler_maruyama
+
+        dt = 0.05
+        x0 = jnp.asarray([[3.0]])
+        theta = jnp.asarray([[2.0, 1.0, 0.1]])
+        traj = euler_maruyama(sde, x0, theta, 4.0, dt, key=jax.random.key(3))
+        idx = np.arange(0, traj.shape[1], 2)
+        obs = Observations(times=(idx * dt).tolist(), values=np.asarray(traj[0, idx]))
+        trainer = VariationalInferenceTrainer(
+            sde=sde,
+            observations=obs,
+            observation_likelihood=GaussianObservationLikelihood(variance=0.01),
+            prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+            time_horizon=4.0,
+            config=TrainingConfig(time_step=dt, batch_size=8, n_iterations=1),
+            encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=HeadConfig(hidden_dim=8, num_layers=2),
+            state_positive_dims=[],
+            sde_param_positive_dims=[0, 2],
+            console=Console(enabled=False),
+        )
+        mu = np.asarray(
+            trainer.pretrain_sde_parameters(
+                PretrainConfig(
+                    batch_size=512, sweep_candidates=4096, cem_rounds=10,
+                    global_objective="mse",
+                )
+            )
+        )
+        assert abs(float(np.exp(mu[0])) - 2.0) < 0.5
+        assert abs(float(mu[1]) - 1.0) < 0.25
 
     def test_partial_observation_requires_x0(self):
         sde2 = make_sde(

@@ -255,6 +255,41 @@ class TestAttention:
             np.asarray(jnp.swapaxes(g_flash[1], 1, 2)), np.asarray(g_dense[1]), rtol=3e-4, atol=3e-5
         )
 
+    def test_dense_qk_prep_branch_matches_unfused(self, monkeypatch):
+        """VIFORSDES_QK_PREP_DENSE=1 (short-grid fused QK prep, round 3):
+        the transpose-sandwiched kernel wiring == the unfused dense branch,
+        values AND gradients, interpret mode standing in for Mosaic on CPU."""
+        import functools
+        import importlib
+
+        attn_mod = importlib.import_module("viforsdes_tpu.ops.attention")
+        from viforsdes_tpu.ops.embeddings import precompute_rope
+        from viforsdes_tpu.ops.pallas.qk_prep import qk_prep
+
+        cfg = AttentionConfig(embed_dim=16, num_heads=4, residual_v=True)
+        params = attention_init(jax.random.key(0), cfg)
+        s = 37  # not block-aligned
+        rope = precompute_rope(4, end=s)
+        x = jax.random.normal(jax.random.key(1), (2, s, 16))
+        v0 = jax.random.normal(jax.random.key(2), (2, s, 4, 4))
+
+        def loss(x, v0):
+            out, v = attention(params, cfg, x, rotary=rope, v0=v0)
+            return jnp.sum(out**2) + jnp.sum(jnp.sin(v))
+
+        l_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(x, v0)
+
+        monkeypatch.setenv("VIFORSDES_QK_PREP_DENSE", "1")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            attn_mod, "qk_prep", functools.partial(qk_prep, interpret=True)
+        )
+        l_fused, g_fused = jax.value_and_grad(loss, argnums=(0, 1))(x, v0)
+
+        np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]), rtol=3e-4, atol=3e-5)
+
 
 class TestDenseRematSDPA:
     def test_matches_dot_product_attention(self):

@@ -244,6 +244,16 @@ class PretrainConfig(YamlConfig):
     # segment objective partially fits that noise; set method="gradient" to
     # recover the reference's exact pretrain behavior in that regime.
     method: str = "auto"
+    # Global-method segment score:
+    #   "nll" = Gaussian pseudo-likelihood of segment residuals under the
+    #           candidate's own diffusion covariance (L L^T * t_seg). Unlike
+    #           MSE it identifies parameters that only enter the diffusion
+    #           (pure OU: sigma never appears in the drift, so the MSE sweep
+    #           left it at the search-box center — the round-3 highdim run
+    #           started at sigma 0.10 vs true 0.5 and diverged). Ranking is
+    #           identical to MSE when diffusion is theta-independent.
+    #   "mse" = plain segment-endpoint MSE (rounds 2-3 behavior).
+    global_objective: str = "nll"
     # Global-method budget: phase-A sweep candidates and CEM rounds/elites.
     sweep_candidates: int = 524288
     cem_rounds: int = 15
@@ -254,6 +264,13 @@ class PretrainConfig(YamlConfig):
     def validate_method(cls, v: str) -> str:
         if v not in ("auto", "global", "gradient"):
             raise ValueError("method must be 'auto', 'global' or 'gradient'")
+        return v
+
+    @field_validator("global_objective")
+    @classmethod
+    def validate_global_objective(cls, v: str) -> str:
+        if v not in ("nll", "mse"):
+            raise ValueError("global_objective must be 'nll' or 'mse'")
         return v
 
     @field_validator("sweep_candidates", "cem_rounds")

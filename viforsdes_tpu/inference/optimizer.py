@@ -1,10 +1,19 @@
-"""Optimizer: global-norm clip + two-LR-group AdamW.
+"""Optimizer: non-finite-skip + global-norm clip + two-LR-group AdamW.
 
 Parity target: reference ``training_context.py:93-102`` (torch AdamW, default
 betas (0.9, 0.999), eps 1e-8, weight_decay 0.01; theta-posterior params at
 ``sde_param_lr``, everything else at ``learning_rate``) composed with the
 trainer's ``clip_grad_norm_(grad_clip_norm)`` (``trainer.py:199-204``) — in
 optax the clip is simply the first link of the chain.
+
+Beyond parity (round 3): the whole chain is wrapped in
+``optax.apply_if_finite``. ``clip_by_global_norm`` propagates a single NaN
+gradient into EVERY parameter (the global norm goes NaN), so one bad step —
+e.g. an aggressive likelihood variance early in training — used to poison
+the run irrecoverably (the round-3 first highdim ladder run ended all-NaN
+this way). Skipping non-finite updates is a strict safety net: it changes
+nothing on healthy steps and turns divergence into a recoverable stall
+(training aborts only after ``max_consecutive_errors`` bad steps in a row).
 """
 
 from __future__ import annotations
@@ -25,10 +34,13 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
     def adamw(lr: float) -> optax.GradientTransformation:
         return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
 
-    return optax.chain(
-        optax.clip_by_global_norm(config.grad_clip_norm),
-        optax.multi_transform(
-            {"rest": adamw(config.learning_rate), "theta": adamw(config.sde_param_lr)},
-            param_group_labels,
+    return optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(config.grad_clip_norm),
+            optax.multi_transform(
+                {"rest": adamw(config.learning_rate), "theta": adamw(config.sde_param_lr)},
+                param_group_labels,
+            ),
         ),
+        max_consecutive_errors=100,
     )

@@ -614,7 +614,7 @@ class VariationalInferenceTrainer:
         return self._pretrain_gradient(cfg, pos_mask, obs_idx, obs_values, obs_matrix)
 
     def _pretrain_global(self, cfg, pos_mask, obs_idx, obs_values) -> Array:
-        """Prior-box sweep + cross-entropy refinement of segment-endpoint MSE.
+        """Prior-box sweep + cross-entropy refinement of a segment objective.
 
         Objective: one deterministic rollout over the full grid that restarts
         from the observed state at every observation slot, scoring each
@@ -628,6 +628,21 @@ class VariationalInferenceTrainer:
         elite refitting. Deterministic rollouts (no injected noise) avoid the
         variance term of stochastic-endpoint MSE, which rewards contractive
         (wrong) dynamics.
+
+        Two segment scores (``PretrainConfig.global_objective``):
+
+        - ``"nll"`` (default): Gaussian pseudo-likelihood of the segment
+          residual under the candidate's OWN diffusion — covariance
+          ``(L L^T) * t_seg`` with ``L = diffusion(restart_state, theta)``.
+          Pure endpoint MSE cannot see parameters that only enter the
+          diffusion: for OU-family models the sweep left sigma at the search
+          -box center (the round-3 highdim run started at sigma 0.10 vs true
+          0.5 and diverged to NaN in 100 steps). The NLL's quadratic-form /
+          log-det trade-off is minimized at sigma^2 ~ residual variance /
+          t_seg — the segment-level quadratic variation — so diffusion
+          parameters are identified too. When diffusion is theta-independent
+          the candidate ranking is identical to MSE's (constant weights).
+        - ``"mse"``: plain endpoint MSE (rounds 2-3 behavior).
 
         Assumes low observation noise: observed values are used as exact
         restart states, so with large observation variance the segment
@@ -655,23 +670,50 @@ class VariationalInferenceTrainer:
         else:
             clamp_mask = None
         x0_single = jnp.asarray(self._x0_single, jnp.float32).reshape(1, state_dim)
+        use_nll = cfg.global_objective == "nll"
 
         @jax.jit
-        def per_sample_mse(z):  # [N, d] unconstrained -> [N]
+        def per_sample_score(z):  # [N, d] unconstrained -> [N]
             theta = jnp.where(pos_mask, jnp.exp(z), z)
             x0 = jnp.broadcast_to(x0_single, (z.shape[0], state_dim))
+            diff0 = self.sde.diffusion(x0, theta) if use_nll else None
 
-            def step(x, inp):
+            def step(carry, inp):
+                x, L_seg, t_el = carry
                 obs_here, y = inp
                 x_next = x + self.sde.drift(x, theta) * dt
                 if clamp_mask is not None:
                     x_next = jnp.where(clamp_mask, jnp.maximum(x_next, 1e-6), x_next)
-                err = jnp.where(obs_here, jnp.sum((x_next - y) ** 2, -1), 0.0)
-                return jnp.where(obs_here, y, x_next), err
+                yb = jnp.broadcast_to(y, x_next.shape)
+                r = x_next - yb
+                x_new = jnp.where(obs_here, yb, x_next)
+                if not use_nll:
+                    err = jnp.where(obs_here, jnp.sum(r * r, -1), 0.0)
+                    return (x_new, L_seg, t_el), err
+                t_next = t_el + dt
+                # Segment residual covariance (L L^T) * t_seg with L frozen at
+                # the restart state: one triangular solve gives the whitened
+                # quadratic form; |log det| from the diagonal.
+                w = jax.lax.linalg.triangular_solve(
+                    L_seg, r[..., None], left_side=True, lower=True
+                )[..., 0]
+                diag = jnp.abs(jnp.diagonal(L_seg, axis1=-2, axis2=-1))
+                nll = 0.5 * (
+                    jnp.sum(w * w, -1) / t_next
+                    + 2.0 * jnp.sum(jnp.log(diag + 1e-20), -1)
+                    + state_dim * jnp.log(t_next)
+                )
+                err = jnp.where(obs_here, nll, 0.0)
+                L_new = jnp.where(
+                    obs_here, self.sde.diffusion(x_new, theta), L_seg
+                )
+                t_new = jnp.where(obs_here, 0.0, t_next)
+                return (x_new, L_new, t_new), err
 
-            _, errs = jax.lax.scan(step, x0, (is_obs_steps, grid_obs_steps))
-            mse = jnp.sum(errs, 0) / (n_scored * state_dim)
-            return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
+            carry0 = (x0, diff0, jnp.float32(0.0))
+            _, errs = jax.lax.scan(step, carry0, (is_obs_steps, grid_obs_steps))
+            score = jnp.sum(errs, 0) / (n_scored * state_dim)
+            return jnp.where(jnp.isfinite(score), score, jnp.inf)
 
         # Prior-informed unconstrained search box (3 prior std; positive dims
         # searched in log space). Positive dims get 3 extra nats of DOWNWARD
@@ -704,7 +746,7 @@ class VariationalInferenceTrainer:
                     jax.random.fold_in(k_sweep, c), (pop, d),
                     minval=lo, maxval=hi, dtype=jnp.float32,
                 )
-                mse = per_sample_mse(z)
+                mse = per_sample_score(z)
                 keep = jnp.argsort(jnp.concatenate([best_mse, mse]))[:n_elite]
                 all_z = jnp.concatenate([best_z, z])
                 best_z, best_mse = all_z[keep], jnp.concatenate([best_mse, mse])[keep]
@@ -720,7 +762,7 @@ class VariationalInferenceTrainer:
                 z = mu + sigma * jax.random.normal(
                     jax.random.fold_in(k_cem, r), (pop, d), dtype=jnp.float32
                 )
-                mse = per_sample_mse(z)
+                mse = per_sample_score(z)
                 elite = jnp.argsort(mse)[:n_elite]
                 mu = jnp.mean(z[elite], 0)
                 sigma = jnp.std(z[elite], 0) + 1e-4
@@ -733,7 +775,10 @@ class VariationalInferenceTrainer:
 
         # The CEM mean is the denoised estimate; fall back to the single best
         # candidate if the final mean somehow regressed.
-        if float(per_sample_mse(mu[None])[0]) <= overall_best_mse * 1.05:
+        # NLL scores can be negative: tolerance must be absolute+relative, not
+        # multiplicative
+        tol = 0.05 * max(1.0, abs(overall_best_mse))
+        if float(per_sample_score(mu[None])[0]) <= overall_best_mse + tol:
             return mu
         return overall_best_z
 

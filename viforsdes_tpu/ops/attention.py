@@ -144,17 +144,29 @@ def attention(
     # ropehalves.json) where one read + one write costs ~0.2 ms.
     # VIFORSDES_QK_PREP=0 reverts to the unfused composition (trace-time).
     fuse_prep = (
-        native
-        and cfg.qk_norm
+        cfg.qk_norm
         and rotary is not None
         and rotary.cos.shape[-1] * 2 == d
         and jax.default_backend() == "tpu"
         and os.environ.get("VIFORSDES_QK_PREP", "1") != "0"
+        # Dense-path use (short grids) is OPT-IN pending an end-to-end
+        # measurement: the same RMS-norm+RoPE streams exist at S=101, but the
+        # kernel wants [B, H, S, D] so the dense path pays two transposes.
+        # VIFORSDES_QK_PREP_DENSE=1 enables (trace-time knob).
+        and (native or os.environ.get("VIFORSDES_QK_PREP_DENSE", "0") == "1")
     )
     if fuse_prep:
         cos, sin = rotary.cos[:s], rotary.sin[:s]
-        q = qk_prep(q, cos, sin, cfg.qk_norm_eps)
-        k = qk_prep(k, cos, sin, cfg.qk_norm_eps)
+        if native:
+            q = qk_prep(q, cos, sin, cfg.qk_norm_eps)
+            k = qk_prep(k, cos, sin, cfg.qk_norm_eps)
+        else:
+            q = jnp.swapaxes(
+                qk_prep(jnp.swapaxes(q, 1, 2), cos, sin, cfg.qk_norm_eps), 1, 2
+            )
+            k = jnp.swapaxes(
+                qk_prep(jnp.swapaxes(k, 1, 2), cos, sin, cfg.qk_norm_eps), 1, 2
+            )
     else:
         if cfg.qk_norm:
             q = rms_norm(q, eps=cfg.qk_norm_eps)
