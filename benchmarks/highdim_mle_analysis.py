@@ -46,9 +46,11 @@ def ar1_mle(y: np.ndarray) -> tuple[float, float, float]:
     grid = np.linspace(0.5, 0.999, 2000)
     vals = [nll(a)[0] for a in grid]
     a = float(grid[int(np.argmin(vals))])
-    # local refine
+    # local refine (step halves once neither neighbor improves — advisor
+    # round-3 fix: the reset used to sit inside the loop, making the halving
+    # dead code and pinning resolution at 1e-4)
+    step = 1e-4
     for _ in range(60):
-        step = 1e-4
         c, lo, hi = nll(a)[0], nll(a - step)[0], nll(a + step)[0]
         if lo < c:
             a -= step

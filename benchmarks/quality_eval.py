@@ -251,6 +251,8 @@ def run_highdim(
     obs_variance: float = 0.1,
     warmup: int = 500,
     init_std: float = 0.5,
+    learn_obs_var: bool = False,
+    checkpoint_every: int | None = None,
     name: str = "highdim",
 ) -> dict:
     """Ladder config 5 quality (single chip; DP mechanics covered by
@@ -286,6 +288,7 @@ def run_highdim(
                 theta_warmup_steps=warmup,
                 iw_samples=iw_samples, theta_full_covariance=full_cov,
                 grad_accum_steps=grad_accum_steps,
+                learn_obs_variance=learn_obs_var,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=128, num_layers=2),
@@ -294,6 +297,12 @@ def run_highdim(
             param_names=["kappa", "mu", "sigma"],
             pretrain=vt.PretrainConfig(),
             console=vt.Console(enabled=False),
+            checkpoint_every=checkpoint_every,
+            checkpoint_path=(
+                Path(__file__).parent / f"ckpt_{name}.npz"
+                if checkpoint_every
+                else None
+            ),
         ),
     )
     elapsed = time.perf_counter() - t0
@@ -307,10 +316,13 @@ def run_highdim(
         "iw_samples": iw_samples,
         "theta_full_covariance": full_cov,
         "batch_size": batch_size,
+        "grad_accum_steps": grad_accum_steps,
         "theta_warmup_steps": warmup,
         "sde_param_init_std": init_std,
         "head_dim": 128,
         "pretrain_global_objective": vt.PretrainConfig().global_objective,
+        "learn_obs_variance": learn_obs_var,
+        "learned_obs_variance": posterior.observation_variance(),
     }
     (Path(__file__).parent / f"results_{name}.json").write_text(
         json.dumps(result, indent=2)
@@ -328,6 +340,7 @@ def run_lorenz(
     iw_samples: int = 1,
     full_cov: bool = False,
     batch_size: int = 32,
+    seed: int | None = None,
     name: str = "lorenz",
 ) -> dict:
     """Ladder 3: dense obs, T=20, 2000-step scan.
@@ -343,7 +356,13 @@ def run_lorenz(
     import jax
     from lorenz63 import StochasticLorenz63, simulate_observations, TRUE_PARAMS
 
-    observations = simulate_observations(jax.random.key(17), obs_every=obs_every)
+    # seed=None reproduces the round-3 configuration (data key 17, train seed
+    # 0); an explicit seed varies BOTH the simulated dataset and the training
+    # RNG, making replicates a full-pipeline robustness check.
+    data_key, train_seed = (17, 0) if seed is None else (seed, seed)
+    observations = simulate_observations(
+        jax.random.key(data_key), obs_every=obs_every
+    )
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=StochasticLorenz63(),
@@ -364,13 +383,19 @@ def run_lorenz(
             param_names=["sigma_L", "rho", "beta"],
             pretrain=vt.PretrainConfig(n_iterations=300, batch_size=1024),
             console=vt.Console(enabled=False),
+            seed=train_seed,
         ),
     )
     elapsed = time.perf_counter() - t0
-    return _summarize(
+    result = _summarize(
         name, posterior, ["sigma_L", "rho", "beta"], n_iterations, elapsed,
         true_params=TRUE_PARAMS,
     )
+    result["seed"] = {"data_key": data_key, "train_seed": train_seed}
+    (Path(__file__).parent / f"results_{name}.json").write_text(
+        json.dumps(result, indent=2)
+    )
+    return result
 
 
 def run_sir(n_iterations: int) -> dict:
@@ -429,6 +454,7 @@ if __name__ == "__main__":
             ("--obs-variance", float, "obs_variance"),
             ("--iw", int, "iw_samples"),
             ("--batch", int, "batch_size"),
+            ("--seed", int, "seed"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:
@@ -448,12 +474,15 @@ if __name__ == "__main__":
             ("--obs-variance", float, "obs_variance"),
             ("--warmup", int, "warmup"),
             ("--init-std", float, "init_std"),
+            ("--ckpt-every", int, "checkpoint_every"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:
                 kw[key] = cast(sys.argv[sys.argv.index(flag) + 1])
         if "--full-cov" in sys.argv:
             kw["full_cov"] = True
+        if "--learn-obs-var" in sys.argv:
+            kw["learn_obs_var"] = True
         run_highdim(iters or 8000, **kw)
     if which == "coverage":
         seeds = 5

@@ -259,13 +259,15 @@ class TestEma:
         assert ema["a"] is not params["a"]
 
 
-def _make_trainer(n_iterations=5, pretrain=False, train_config=None, **kwargs):
+def _make_trainer(n_iterations=5, pretrain=False, train_config=None,
+                  observation_likelihood_override=None, **kwargs):
     sde = _ou_sde()
     obs = Observations(times=[0.0, 1.0, 2.0], values=[[2.0], [1.5], [0.8]])
     return VariationalInferenceTrainer(
         sde=sde,
         observations=obs,
-        observation_likelihood=GaussianObservationLikelihood(variance=0.1),
+        observation_likelihood=observation_likelihood_override
+        or GaussianObservationLikelihood(variance=0.1),
         prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
         time_horizon=2.0,
         config=train_config
@@ -398,6 +400,140 @@ class TestNonFiniteSkip:
         )
         new_params = optax.apply_updates(params, updates)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(new_params))
+
+
+class TestLearnableObsVariance:
+    """TrainingConfig.learn_obs_variance: a scalar log-variance parameter in
+    the ELBO's observation term (beyond-reference; the reference's
+    GaussianObservationLikelihood holds variance fixed, ref
+    core/observations.py:39-74)."""
+
+    def test_variance_override_matches_fixed(self):
+        rng = np.random.default_rng(3)
+        y = jnp.asarray(rng.normal(size=(4, 5, 2)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(4, 5, 2)), jnp.float32)
+        got = GaussianObservationLikelihood(variance=0.5).log_prob(
+            y, x, variance=jnp.float32(0.2)
+        )
+        want = GaussianObservationLikelihood(variance=0.2).log_prob(y, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    def test_init_elbo_parity_with_fixed(self):
+        """At init the learnable variance equals the claimed one exactly
+        (floor + exp(log(v - floor)) == v), so the first ELBO matches the
+        fixed-variance trainer bit-for-bit up to float error."""
+        cfg_fixed = TrainingConfig(time_step=0.25, batch_size=8, n_iterations=1)
+        cfg_learn = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=1, learn_obs_variance=True
+        )
+        t_fixed = _make_trainer(train_config=cfg_fixed)
+        t_learn = _make_trainer(train_config=cfg_learn)
+        key = jax.random.fold_in(t_fixed._train_key, 0)
+        e_fixed = t_fixed._elbo_from_params(t_fixed.params, key, 8)
+        e_learn = t_learn._elbo_from_params(t_learn.params, key, 8)
+        np.testing.assert_allclose(
+            float(e_fixed.evidence_lower_bound),
+            float(e_learn.evidence_lower_bound),
+            rtol=1e-5,
+        )
+
+    def test_variance_shrinks_when_claim_is_too_large(self):
+        """The stationary point of the learned variance is the mean squared
+        observation residual. A claimed variance of 25 is far above any
+        residual these O(1) paths can produce, so the log-variance gradient
+        must point DOWN from the first step."""
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=30, learn_obs_variance=True
+        )
+        sde = _ou_sde()
+        obs = Observations(times=[0.0, 1.0, 2.0], values=[[2.0], [1.5], [0.8]])
+        trainer = VariationalInferenceTrainer(
+            sde=sde,
+            observations=obs,
+            observation_likelihood=GaussianObservationLikelihood(variance=25.0),
+            prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+            time_horizon=2.0,
+            config=cfg,
+            encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=HeadConfig(hidden_dim=8, num_layers=2),
+            state_positive_dims=[],
+            sde_param_positive_dims=[0, 2],
+            console=Console(enabled=False),
+        )
+        init_log_var = float(trainer.params["obs"]["log_variance"])
+        trainer.train()
+        final_log_var = float(trainer.params["obs"]["log_variance"])
+        assert np.isfinite(final_log_var)
+        assert final_log_var < init_log_var
+
+    def test_frozen_during_theta_warmup(self):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=3,
+            learn_obs_variance=True, theta_warmup_steps=10,
+        )
+        trainer = _make_trainer(train_config=cfg)
+        init_log_var = float(trainer.params["obs"]["log_variance"])
+        trainer.train()
+        assert float(trainer.params["obs"]["log_variance"]) == init_log_var
+
+    def test_requires_gaussian_likelihood(self):
+        class CustomLik:
+            def log_prob(self, observations, state):
+                return jnp.zeros(observations.shape[:-1])
+
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=1, learn_obs_variance=True
+        )
+        with pytest.raises(ValueError, match="GaussianObservationLikelihood"):
+            _make_trainer(
+                train_config=cfg, observation_likelihood_override=CustomLik()
+            )
+
+    def test_checkpoint_roundtrip_includes_obs(self, tmp_path):
+        cfg = TrainingConfig(
+            time_step=0.25, batch_size=8, n_iterations=4, learn_obs_variance=True
+        )
+        t_a = _make_trainer(train_config=cfg)
+        t_a.train(checkpoint_every=4, checkpoint_path=tmp_path / "obs.npz")
+        t_b = _make_trainer(train_config=cfg)
+        t_b.restore_checkpoint(tmp_path / "obs.npz")
+        np.testing.assert_allclose(
+            float(t_b.params["obs"]["log_variance"]),
+            float(t_a.params["obs"]["log_variance"]),
+        )
+
+
+class TestDivergenceAbort:
+    def test_aborts_after_persistent_nonfinite(self):
+        """A permanently-NaN objective must raise from the host loop at ~100
+        consecutive bad steps (advisor round-3 medium: optax's own threshold
+        would instead eventually APPLY the NaN update)."""
+        bad_sde = make_sde(
+            drift=lambda x, p: x * jnp.nan,
+            diffusion=lambda x, p: jnp.ones(x.shape[:-1] + (1, 1), x.dtype),
+            state_dim=1,
+            sde_param_dim=3,
+        )
+        obs = Observations(times=[0.0, 1.0, 2.0], values=[[2.0], [1.5], [0.8]])
+        trainer = VariationalInferenceTrainer(
+            sde=bad_sde,
+            observations=obs,
+            observation_likelihood=GaussianObservationLikelihood(variance=0.1),
+            prior=Prior(type=PriorType.NORMAL, mean=0.0, std=1.0, dim=3),
+            time_horizon=2.0,
+            config=TrainingConfig(time_step=0.25, batch_size=8, n_iterations=400),
+            encoder_config=EncoderConfig(hidden_dim=16, cond_dim=16, num_heads=2, depth=1),
+            head_config=HeadConfig(hidden_dim=8, num_layers=2),
+            state_positive_dims=[],
+            sde_param_positive_dims=[0, 2],
+            console=Console(enabled=False),
+        )
+        with pytest.raises(RuntimeError, match="diverged"):
+            trainer.train()
+        # apply_if_finite held every parameter at its (finite) initial value
+        assert all(
+            np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(trainer.params)
+        )
 
 
 class TestGradAccumulation:

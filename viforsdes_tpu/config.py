@@ -82,6 +82,19 @@ class TrainingConfig(YamlConfig):
     # contributes to its overconfident marginal CIs (BASELINE.md Lorenz
     # diagnosis); the coupling adds P(P-1)/2 parameters — free at P <= a few.
     theta_full_covariance: bool = False
+    # Learnable observation variance (beyond-reference: the reference's
+    # GaussianObservationLikelihood holds it fixed, ref observations.py:39-74).
+    # Adds a scalar log-variance parameter to the ELBO's observation term,
+    # initialized at the likelihood's claimed variance and trained at
+    # sde_param_lr (frozen during theta_warmup_steps, like theta); the
+    # effective variance is OBS_VARIANCE_FLOOR + exp(log_variance). Motivation
+    # (BASELINE.md ladder-5 diagnosis): when the claimed observation std is
+    # comparable to the per-step increment noise sigma*sqrt(dt), the ELBO can
+    # book real path variation as observation noise and the diffusion
+    # parameter deflates; with noiseless data the learned variance shrinks,
+    # pinning paths to the observations — claiming a tiny FIXED variance
+    # instead diverges (the round-3 obs_var=1e-4 run ended all-NaN).
+    learn_obs_variance: bool = False
     # Gradient accumulation: split the batch into grad_accum_steps sequential
     # microbatches inside the jitted step (lax.scan), averaging gradients and
     # metrics. Mathematically EXACT for this objective (the ELBO/IWAE bound is

@@ -102,7 +102,16 @@ class GaussianObservationLikelihood(BaseModel):
             raise ValueError("variance must be positive")
         return v
 
-    def log_prob(self, observations: Array, state: Array) -> Array:
+    def log_prob(
+        self,
+        observations: Array,
+        state: Array,
+        *,
+        variance: Array | float | None = None,
+    ) -> Array:
+        """``variance`` overrides the configured scalar — it may be a traced
+        array, which is how the trainer's learnable observation variance
+        (TrainingConfig.learn_obs_variance) differentiates through this term."""
         if self.obs_matrix is not None:
             if self.obs_matrix.ndim != 2:
                 raise ValueError("obs_matrix must be 2D [obs_dim, state_dim]")
@@ -120,7 +129,7 @@ class GaussianObservationLikelihood(BaseModel):
                 f"predicted shape {predicted.shape}"
             )
 
-        var = self.variance
+        var = self.variance if variance is None else variance
         diff = observations - predicted
-        log_prob = -0.5 * (diff**2) / var - 0.5 * math.log(2 * math.pi * var)
+        log_prob = -0.5 * (diff**2) / var - 0.5 * jnp.log(2 * math.pi * var)
         return jnp.sum(log_prob, axis=-1)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
 
 import jax
 import numpy as np
@@ -57,6 +59,13 @@ class InferenceConfig:
     seed: int = 0
     mesh: Mesh | None = None
     x0: Array | None = None
+    # Long-run observability (beyond the reference, which could neither
+    # checkpoint mid-training nor hook steps from its entry point): per-step
+    # callback(step, elbo) and periodic trainer checkpoints (params +
+    # optimizer state + EMA, exact-resume via trainer.restore_checkpoint).
+    callback: Callable[[int, float], None] | None = None
+    checkpoint_every: int | None = None
+    checkpoint_path: str | Path | None = None
 
 
 class _InferenceInputs(BaseModel):
@@ -159,7 +168,11 @@ def infer(
         pretrained_mean = trainer.pretrain_sde_parameters(pretrain_config)
         trainer.set_theta_mean(pretrained_mean)
 
-    state = trainer.train()
+    state = trainer.train(
+        callback=cfg.callback,
+        checkpoint_every=cfg.checkpoint_every,
+        checkpoint_path=cfg.checkpoint_path,
+    )
 
     state_space = StateSpace(sde.state_dim, inputs.state_positive_dims)
 

@@ -96,6 +96,7 @@ def compute_evidence_lower_bound(
     *,
     obs_indices: np.ndarray,
     iw_samples: int = 1,
+    obs_variance: Array | None = None,
 ) -> EvidenceLowerBoundResult:
     z = sample.z.astype(jnp.float32)
     x = sample.x.astype(jnp.float32)
@@ -122,10 +123,19 @@ def compute_evidence_lower_bound(
 
     obs_values = observations.values[None]  # [1, T_obs, O] broadcasts over batch
     x_at_obs = x[:, obs_indices]
-    obs_log_prob = observation_likelihood.log_prob(
-        jnp.broadcast_to(obs_values, (x.shape[0],) + observations.values.shape),
-        x_at_obs,
-    ).sum(axis=-1)
+    obs_broadcast = jnp.broadcast_to(
+        obs_values, (x.shape[0],) + observations.values.shape
+    )
+    if obs_variance is not None:
+        # learnable observation variance (TrainingConfig.learn_obs_variance):
+        # a traced scalar the gradient flows through
+        obs_log_prob = observation_likelihood.log_prob(
+            obs_broadcast, x_at_obs, variance=obs_variance
+        ).sum(axis=-1)
+    else:
+        obs_log_prob = observation_likelihood.log_prob(
+            obs_broadcast, x_at_obs
+        ).sum(axis=-1)
 
     prior_log_prob = prior.log_prob(sde_parameters)
     posterior_log_prob = theta_posterior.log_prob(theta_params, sde_parameters)

@@ -12,8 +12,16 @@ gradient into EVERY parameter (the global norm goes NaN), so one bad step —
 e.g. an aggressive likelihood variance early in training — used to poison
 the run irrecoverably (the round-3 first highdim ladder run ended all-NaN
 this way). Skipping non-finite updates is a strict safety net: it changes
-nothing on healthy steps and turns divergence into a recoverable stall
-(training aborts only after ``max_consecutive_errors`` bad steps in a row).
+nothing on healthy steps and turns divergence into a recoverable stall.
+
+Abort semantics (round 4, advisor finding): optax's ``max_consecutive_errors``
+does NOT abort — past the threshold it gives up and APPLIES the non-finite
+update, silently poisoning every parameter (that is how the round-3
+obs_var=1e-4 highdim run ended all-NaN after 8,600 unattended seconds). It is
+therefore set far above reach here, ``notfinite_count`` is surfaced in the
+step metrics, and the TRAINER's host loop raises after
+``MAX_CONSECUTIVE_NONFINITE_STEPS`` consecutive bad steps — while params are
+still at their last finite values (``inference/trainer.py`` flush).
 """
 
 from __future__ import annotations
@@ -27,6 +35,10 @@ from viforsdes_tpu.config import TrainingConfig
 def param_group_labels(params: dict) -> dict:
     labels = jax.tree.map(lambda _: "rest", params)
     labels["theta"] = jax.tree.map(lambda _: "theta", params["theta"])
+    if "obs" in params:
+        # learnable observation-variance scalar: a likelihood hyperparameter,
+        # trained at the theta learning rate (config.learn_obs_variance)
+        labels["obs"] = jax.tree.map(lambda _: "theta", params["obs"])
     return labels
 
 
@@ -42,5 +54,8 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
                 param_group_labels,
             ),
         ),
-        max_consecutive_errors=100,
+        # Never reached by design: the trainer aborts from the host loop at
+        # MAX_CONSECUTIVE_NONFINITE_STEPS (100) consecutive bad steps, long
+        # before optax would "give up and accept" the non-finite update.
+        max_consecutive_errors=1_000_000_000,
     )

@@ -45,12 +45,20 @@ from viforsdes_tpu.config import (
     PretrainConfig,
     TrainingConfig,
 )
-from viforsdes_tpu.core.observations import ObservationLikelihood, Observations
+from viforsdes_tpu.core.observations import (
+    GaussianObservationLikelihood,
+    ObservationLikelihood,
+    Observations,
+)
 from viforsdes_tpu.core.priors import Prior
 from viforsdes_tpu.core.sde import SDE
 from viforsdes_tpu.core.solvers import euler_maruyama
 from viforsdes_tpu.core.state_space import StateSpace
-from viforsdes_tpu.inference.constants import LOSS_EMA_DECAY
+from viforsdes_tpu.inference.constants import (
+    LOSS_EMA_DECAY,
+    MAX_CONSECUTIVE_NONFINITE_STEPS,
+    OBS_VARIANCE_FLOOR,
+)
 from viforsdes_tpu.inference.ema import ema_init, ema_update
 from viforsdes_tpu.inference.elbo import (
     compute_evidence_lower_bound,
@@ -75,6 +83,9 @@ class StepMetrics(NamedTuple):
     posterior_log_prob: Array
     grad_norm: Array
     param_means: Array
+    # consecutive non-finite update steps (optax ApplyIfFiniteState); the host
+    # loop aborts when it exceeds MAX_CONSECUTIVE_NONFINITE_STEPS
+    notfinite_count: Array
 
 
 @dataclass
@@ -150,6 +161,26 @@ class VariationalInferenceTrainer:
             sde_param_init_mean=sde_param_init_mean,
             sde_param_init_std=sde_param_init_std,
         )
+        if config.learn_obs_variance:
+            # Learnable observation variance (config.py rationale): a scalar
+            # log-variance in the params pytree, effective variance
+            # OBS_VARIANCE_FLOOR + exp(log_variance), initialized at the
+            # likelihood's claimed value.
+            if not isinstance(observation_likelihood, GaussianObservationLikelihood):
+                raise ValueError(
+                    "learn_obs_variance requires a GaussianObservationLikelihood"
+                )
+            if observation_likelihood.variance <= OBS_VARIANCE_FLOOR:
+                raise ValueError(
+                    f"learn_obs_variance: initial variance must exceed the "
+                    f"floor {OBS_VARIANCE_FLOOR}"
+                )
+            self.params["obs"] = {
+                "log_variance": jnp.asarray(
+                    np.log(observation_likelihood.variance - OBS_VARIANCE_FLOOR),
+                    dtype=jnp.float32,
+                )
+            }
         self.optimizer = make_optimizer(config)
         self.opt_state = self.optimizer.init(self.params)
         self.ema_params = ema_init(self.params)
@@ -283,6 +314,11 @@ class VariationalInferenceTrainer:
             k_path,
             compute_dtype=self.config.compute_dtype.value_dtype,
         )
+        obs_variance = (
+            OBS_VARIANCE_FLOOR + jnp.exp(params["obs"]["log_variance"])
+            if self.config.learn_obs_variance
+            else None
+        )
         return compute_evidence_lower_bound(
             self.sde,
             self.observations,
@@ -295,6 +331,7 @@ class VariationalInferenceTrainer:
             self.config.time_step,
             obs_indices=self.obs_indices,
             iw_samples=iw,
+            obs_variance=obs_variance,
         )
 
     def _step_math(self, params, opt_state, ema, key, theta_scale):
@@ -348,13 +385,19 @@ class VariationalInferenceTrainer:
         if theta_scale is not None:
             # theta warmup: zero the APPLIED theta update (keeps AdamW's
             # weight decay from dragging the frozen mean; moments still
-            # accumulate so release is smooth)
+            # accumulate so release is smooth). The learnable observation
+            # variance freezes with theta: the claimed variance anchors early
+            # path learning while the bridges are still random.
             updates = {
                 **updates,
                 "theta": jax.tree.map(
                     lambda u: u * theta_scale, updates["theta"]
                 ),
             }
+            if "obs" in updates:
+                updates["obs"] = jax.tree.map(
+                    lambda u: u * theta_scale, updates["obs"]
+                )
         params = optax.apply_updates(params, updates)
         ema = ema_update(ema, params)
         metrics = StepMetrics(
@@ -366,6 +409,9 @@ class VariationalInferenceTrainer:
             posterior_log_prob=result.components.posterior_log_prob,
             grad_norm=grad_norm,
             param_means=self.model.theta_posterior.expected_value(params["theta"]),
+            notfinite_count=getattr(
+                opt_state, "notfinite_count", jnp.zeros((), jnp.int32)
+            ),
         )
         return params, opt_state, ema, metrics
 
@@ -479,6 +525,17 @@ class VariationalInferenceTrainer:
                 if callback is not None:
                     callback(step, elbo)
             last_step, last = rows[-1]
+            # Divergence abort (host side): apply_if_finite skips non-finite
+            # updates, so params are still at their last finite values here —
+            # raising beats letting an unattended run burn hours producing
+            # nothing (or, past optax's give-up threshold, applying the NaN).
+            worst = max(int(m.notfinite_count) for _, m in rows)
+            if worst >= MAX_CONSECUTIVE_NONFINITE_STEPS:
+                raise RuntimeError(
+                    f"training diverged: {worst} consecutive non-finite update "
+                    f"steps by step {last_step} (params remain at their last "
+                    f"finite values; inspect the latest checkpoint)"
+                )
             progress.update(
                 step=last_step,
                 loss=smoothed_loss,

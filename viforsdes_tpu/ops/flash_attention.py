@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,33 @@ def _kernel():
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     return fa
+
+
+@functools.lru_cache(maxsize=None)
+def _dqfix_fork():
+    """Guarded import of the fixed flash fork (round-3 verdict weak #3).
+
+    ``ops/pallas/flash_fixed.py`` reuses PRIVATE kernel symbols from
+    ``jax.experimental.pallas.ops.tpu.flash_attention`` (lifted from jax
+    0.8.x); an upstream refactor must degrade the default training path to
+    the library kernel with a loud warning — never brick it at import time.
+    Returns the fork's entry point, or None when unavailable.
+    """
+    try:
+        from viforsdes_tpu.ops.pallas.flash_fixed import flash_attention_dqfix
+
+        return flash_attention_dqfix
+    except Exception as exc:
+        warnings.warn(
+            "viforsdes_tpu: the flash_fixed fork failed to import "
+            f"({type(exc).__name__}: {exc}); falling back to the library "
+            "flash_attention. Training still works but re-adds the di "
+            "broadcast + l/m relayout traffic (~6% of the Lorenz-63 step, "
+            "BASELINE.md).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
 
 
 @functools.lru_cache(maxsize=None)
@@ -212,10 +240,13 @@ def flash_sdpa(
         # 13.5 ms/step of never-read HBM writes at the Lorenz shape
         # (round-3 trace, BASELINE.md). VIFORSDES_FLASH_DQFIX=0 restores the
         # library path (A/B knob).
-        if os.environ.get("VIFORSDES_FLASH_DQFIX", "1") == "1":
-            from viforsdes_tpu.ops.pallas.flash_fixed import flash_attention_dqfix
-
-            out = flash_attention_dqfix(
+        fork = (
+            _dqfix_fork()
+            if os.environ.get("VIFORSDES_FLASH_DQFIX", "1") == "1"
+            else None
+        )
+        if fork is not None:
+            out = fork(
                 qh, kh, vh, segment_ids=segment_ids, sm_scale=sm_scale,
                 block_sizes=bs,
             )

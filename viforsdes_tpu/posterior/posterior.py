@@ -169,6 +169,16 @@ class VariationalPosterior:
             diffusion_path_std=paths.std(axis=0, ddof=1),
         )
 
+    def observation_variance(self) -> float | None:
+        """Learned observation variance (TrainingConfig.learn_obs_variance),
+        from the EMA weights; None when the likelihood variance was fixed."""
+        obs = self.ema_params.get("obs")
+        if obs is None:
+            return None
+        from viforsdes_tpu.inference.constants import OBS_VARIANCE_FLOOR
+
+        return float(OBS_VARIANCE_FLOOR + np.exp(obs["log_variance"]))
+
     def diagnostics(self) -> InferenceDiagnostics:
         history = self.evidence_lower_bound_history
         return InferenceDiagnostics(

@@ -19,6 +19,13 @@ import numpy as np
 _META_KEY = "__viforsdes_meta__"
 _SEP = "/"
 
+# Bumped whenever the on-disk tree structure of a SAVED state changes in a
+# way templates cannot absorb. History:
+#   1 — initial format (implicit; checkpoints carry no version field)
+#   2 — optimizer state wrapped in optax.apply_if_finite (ApplyIfFiniteState
+#       around the chain state) + optional params["obs"] log-variance
+CHECKPOINT_FORMAT_VERSION = 2
+
 
 def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     flat = {}
@@ -63,7 +70,10 @@ def save_checkpoint(path: str | Path, trees: dict[str, Any], metadata: dict) -> 
     for name, tree in trees.items():
         flat.update(flatten_pytree(tree, prefix=name + _SEP))
     flat[_META_KEY] = np.frombuffer(
-        json.dumps(metadata).encode("utf-8"), dtype=np.uint8
+        json.dumps(
+            {"format_version": CHECKPOINT_FORMAT_VERSION, **metadata}
+        ).encode("utf-8"),
+        dtype=np.uint8,
     )
     np.savez(Path(path), **flat)
 
@@ -93,8 +103,21 @@ def load_checkpoint(
             f"not a {kind} checkpoint (or an incompatible version): "
             f"metadata is missing keys {missing}; found {sorted(metadata)}"
         )
-    trees = {
-        name: unflatten_like(template, flat, prefix=name + _SEP)
-        for name, template in templates.items()
-    }
+    version = metadata.get("format_version", 1)
+    try:
+        trees = {
+            name: unflatten_like(template, flat, prefix=name + _SEP)
+            for name, template in templates.items()
+        }
+    except KeyError as exc:
+        # Structure drift between versions (advisor round-3 finding): e.g. a
+        # version-1 opt_state predates the optax.apply_if_finite wrapper, so
+        # its tree paths no longer match the current template.
+        raise ValueError(
+            f"checkpoint structure mismatch while restoring a {kind} "
+            f"checkpoint (saved format_version={version}, current="
+            f"{CHECKPOINT_FORMAT_VERSION}): {exc}. If the checkpoint predates "
+            "version 2, the optimizer state cannot be migrated — restart "
+            "training, or restore only the params/EMA trees."
+        ) from exc
     return trees, metadata
