@@ -136,6 +136,8 @@ def run_ou_synthetic(
     *,
     iw_samples: int = 1,
     full_cov: bool = False,
+    warmup: int = 0,
+    init_std: float = 1.0,
 ) -> dict:
     """OU headline shape with synthetic ground truth (VERDICT round-1 item 3):
     the reference's 6 hand-fixed observations have no generating theta, so
@@ -166,10 +168,12 @@ def run_ou_synthetic(
             training=vt.TrainingConfig(
                 time_step=0.05, batch_size=128, n_iterations=n_iterations,
                 iw_samples=iw_samples, theta_full_covariance=full_cov,
+                theta_warmup_steps=warmup,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=64, num_layers=2),
             sde_param_positive_dims=[0, 2],
+            sde_param_init_std=init_std,
             param_names=["kappa", "mu", "sigma"],
             pretrain=vt.PretrainConfig(),
             console=vt.Console(enabled=False),
@@ -183,7 +187,13 @@ def run_ou_synthetic(
 
 
 def run_coverage(
-    n_iterations: int, n_seeds: int = 5, *, iw_samples: int = 1, full_cov: bool = False
+    n_iterations: int,
+    n_seeds: int = 5,
+    *,
+    iw_samples: int = 1,
+    full_cov: bool = False,
+    warmup: int = 0,
+    init_std: float = 1.0,
 ) -> dict:
     """Empirical CI calibration across seeds (round-2 verdict task 4).
 
@@ -200,6 +210,7 @@ def run_coverage(
             run_ou_synthetic(
                 n_iterations, seed=11 + 37 * i, name=f"coverage_seed{i}",
                 iw_samples=iw_samples, full_cov=full_cov,
+                warmup=warmup, init_std=init_std,
             )
         )
     truth = runs[0]["true_params"]
@@ -218,6 +229,8 @@ def run_coverage(
         "n_iterations": n_iterations,
         "iw_samples": iw_samples,
         "theta_full_covariance": full_cov,
+        "theta_warmup_steps": warmup,
+        "sde_param_init_std": init_std,
         "true_params": truth,
         "coverage_2sigma": coverage_2s,
         "coverage_q05_q95": coverage_90,
@@ -493,4 +506,6 @@ if __name__ == "__main__":
             n_seeds=seeds,
             iw_samples=int(sys.argv[sys.argv.index("--iw") + 1]) if "--iw" in sys.argv else 1,
             full_cov="--full-cov" in sys.argv,
+            warmup=int(sys.argv[sys.argv.index("--warmup") + 1]) if "--warmup" in sys.argv else 0,
+            init_std=float(sys.argv[sys.argv.index("--init-std") + 1]) if "--init-std" in sys.argv else 1.0,
         )

@@ -379,3 +379,71 @@ class TestSiTRemat:
         g2 = jax.grad(lambda p: jnp.sum(sit(p, cfg, x, cond=cond, remat=True) ** 2))(params)
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+class TestDenseNativeLayout:
+    def test_native_remat_matches_standard_layout(self):
+        """_dense_sdpa_remat_native over [B,H,S,D] == _dense_sdpa_remat over
+        [B,S,H,D] (values + grads), with and without a key-padding bias."""
+        from viforsdes_tpu.ops.attention import (
+            _dense_sdpa_remat,
+            _dense_sdpa_remat_native,
+        )
+
+        kq, kk, kv, kc = jax.random.split(jax.random.key(3), 4)
+        b, s, h, d = 2, 11, 2, 8
+        q = jax.random.normal(kq, (b, s, h, d))
+        k = jax.random.normal(kk, (b, s, h, d))
+        v = jax.random.normal(kv, (b, s, h, d))
+        ct = jax.random.normal(kc, (b, s, h, d))
+        mask = jnp.asarray([True] * 7 + [False] * 4)
+        bias = jnp.where(mask, 0.0, -1e9)[None, None, None, :]
+        swap = lambda x: jnp.swapaxes(x, 1, 2)
+
+        for bias_arg in (None, bias):
+            want = _dense_sdpa_remat(q, k, v, bias_arg)
+            got = swap(_dense_sdpa_remat_native(swap(q), swap(k), swap(v), bias_arg))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+            def loss_std(q, k, v):
+                return jnp.sum(_dense_sdpa_remat(q, k, v, bias_arg) * ct)
+
+            def loss_nat(q, k, v):
+                return jnp.sum(
+                    swap(_dense_sdpa_remat_native(swap(q), swap(k), swap(v), bias_arg)) * ct
+                )
+
+            g_want = jax.grad(loss_std, argnums=(0, 1, 2))(q, k, v)
+            g_got = jax.grad(loss_nat, argnums=(0, 1, 2))(q, k, v)
+            for gg, gw in zip(g_got, g_want):
+                np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=3e-6)
+
+    def test_attention_native_flag_parity(self, monkeypatch):
+        """Full attention op under VIFORSDES_DENSE_NATIVE=1 == default path
+        (values + grads through a scalar loss)."""
+        from viforsdes_tpu.ops.attention import AttentionConfig, attention, attention_init
+        from viforsdes_tpu.ops.embeddings import precompute_rope
+
+        cfg = AttentionConfig(embed_dim=16, num_heads=2, residual_v=False)
+        params = attention_init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (2, 9, 16))
+        rot = precompute_rope(8, end=9)
+
+        def loss(params, x):
+            out, _ = attention(params, cfg, x, rotary=rot)
+            return jnp.sum(out**2)
+
+        monkeypatch.delenv("VIFORSDES_DENSE_NATIVE", raising=False)
+        want = loss(params, x)
+        g_want = jax.grad(loss)(params, x)
+        monkeypatch.setenv("VIFORSDES_DENSE_NATIVE", "1")
+        got = loss(params, x)
+        g_got = jax.grad(loss)(params, x)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6
+            ),
+            g_got,
+            g_want,
+        )

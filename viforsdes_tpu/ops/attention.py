@@ -78,7 +78,7 @@ def _rope_heads(x: Array, rotary: RotaryTables | None) -> Array:
 
 
 @jax.checkpoint
-def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
+def _dense_sdpa_remat(q: Array, k: Array, v: Array, bias: Array | None = None) -> Array:
     """Non-causal SDPA over ``[B, S, H, D]`` with NO attention-prob residuals.
 
     ``jax.nn.dot_product_attention``'s fp32 softmax leaves ``f32[B, H, S, S]``
@@ -89,13 +89,42 @@ def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
     recomputes the probs from a small compute-bound matmul instead of
     streaming them from HBM. fp32 logits/softmax as before; the recomputed
     probs feed the MXU in the input dtype.
+
+    ``bias`` (additive, broadcast over ``[B, H, S_q, S_k]``) carries the
+    key-padding mask of the padded-grid path; it fuses into the softmax loop.
     """
     d = q.shape[-1]
     logits = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * (1.0 / d**0.5)
+    if bias is not None:
+        logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+@jax.checkpoint
+def _dense_sdpa_remat_native(
+    q: Array, k: Array, v: Array, bias: Array | None = None
+) -> Array:
+    """`_dense_sdpa_remat` over the kernel-native ``[B, H, S, D]`` layout.
+
+    Candidate for the round-3 trace's "data formatting" bucket (8x
+    ``bf16[128,4,64,101]`` transposes in attention bwd): with q/k/v already
+    ``[B, H, S, D]`` every backward contraction stays in-layout, so XLA has no
+    relayout to insert. Opt-in via ``VIFORSDES_DENSE_NATIVE=1`` pending an
+    end-to-end measurement (the flash-path equivalent measured a wash,
+    BASELINE.md round 3 — but flash hides its own layout internally, so the
+    dense path needs its own number).
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / d**0.5)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
 
 
 def attention(
@@ -105,11 +134,17 @@ def attention(
     *,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
+    key_mask: Array | None = None,
 ) -> tuple[Array, Array]:
     """``[B, S, E] -> ([B, S, E], v_state [B, S, H, D])``.
 
     Always returns the (post-mix) value state; callers that don't need it just
     drop it (the reference's ``return_value`` flag collapses to this).
+
+    ``key_mask`` (``[S]`` bool, True = real token) removes padded grid slots
+    from every softmax so the padded-grid fast path (models/encoder.py) is
+    semantically exact: padded queries produce garbage rows the encoder slices
+    away, and padded keys contribute nothing to real rows.
     """
     b, s, _ = hidden_states.shape
     h, d = cfg.num_heads, cfg.head_dim
@@ -127,7 +162,10 @@ def attention(
     # profile_flash_layout.py — XLA already folded those copies); it is kept
     # as the marginally simpler program. QK-RMSNorm and RoPE are
     # layout-agnostic (last-dim math), so both paths share them.
-    native = flash = use_flash_attention(s)
+    flash = use_flash_attention(s)
+    # Dense-native layout candidate (see _dense_sdpa_remat_native): opt-in,
+    # trace-time knob.
+    native = flash or os.environ.get("VIFORSDES_DENSE_NATIVE", "0") == "1"
     if native:
         q = jnp.swapaxes(q.reshape(b, s, h, d), 1, 2)  # [B, H, S, D]
         k = jnp.swapaxes(k.reshape(b, s, h, d), 1, 2)
@@ -190,19 +228,32 @@ def attention(
     # stack, which all take the same path (S is shared).
     v_out = v
 
-    if native:
+    if key_mask is not None and flash:
+        raise ValueError(
+            "key_mask is a dense-path feature: the flash kernel takes over "
+            "above the flash threshold and the encoder must not pad there"
+        )
+    bias = (
+        jnp.where(key_mask, 0.0, -1e9).astype(jnp.float32)[None, None, None, :]
+        if key_mask is not None
+        else None
+    )
+    if flash:
         attn_output = flash_sdpa(q, k, v, kernel_layout=True)  # [B, H, S, D]
-    elif flash:
-        attn_output = flash_sdpa(q, k, v)
+    elif native:
+        attn_output = _dense_sdpa_remat_native(q, k, v, bias)
     elif os.environ.get("VIFORSDES_DENSE_REMAT", "1") != "0":
         # Default ON: device-op trace sums (the only noise-free yardstick on
         # this tunnel) measure 9.00 vs 9.25 ms/step at the OU headline —
         # remat trades +0.33 ms of recompute matmuls for −0.58 ms of
         # prob-residual HBM traffic (trace_ou_remat.json vs trace_ou.json).
         # VIFORSDES_DENSE_REMAT=0 restores the library SDPA (trace-time knob).
-        attn_output = _dense_sdpa_remat(q, k, v)
+        attn_output = _dense_sdpa_remat(q, k, v, bias)
     else:
-        attn_output = jax.nn.dot_product_attention(q, k, v)
+        attn_output = jax.nn.dot_product_attention(
+            q, k, v,
+            mask=key_mask[None, None, None, :] if key_mask is not None else None,
+        )
 
     if cfg.gate:
         gate_scores = jax.nn.sigmoid(linear(params["gate_proj"], hidden_states))

@@ -90,6 +90,7 @@ def sit_block(
     cond: Array,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
+    key_mask: Array | None = None,
 ) -> tuple[Array, Array]:
     """One SiT block: ``([B,S,H], cond [B,S,C] or [B,C]) -> ([B,S,H], value_state)``.
 
@@ -112,6 +113,7 @@ def sit_block(
         modulated,
         rotary=rotary,
         v0=v0,
+        key_mask=key_mask,
     )
     hidden_states = hidden_states + attn_branch.gate(attn_out)
 
@@ -151,6 +153,7 @@ def sit(
     cond: Array,
     rotary: RotaryTables | None = None,
     remat: bool | None = None,
+    key_mask: Array | None = None,
 ) -> Array:
     """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``)."""
     if remat is None:
@@ -163,7 +166,10 @@ def sit(
     cached_v: Array | None = None
     for idx, block_params in enumerate(params["blocks"]):
         def block_fn(bp, tokens_, cond_, v0_, idx=idx):
-            return sit_block(bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_)
+            return sit_block(
+                bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_,
+                key_mask=key_mask,
+            )
 
         if remat:
             block_fn = jax.checkpoint(block_fn)
