@@ -179,6 +179,50 @@ def main() -> None:
     ops.sort(key=lambda d: -d["total_us"])
     per_step_scale = 1.0 / n_steps / 1000.0  # us-total -> ms/step
 
+    # Roofline aggregate over ALL ops (the top-40 list covers only a fraction
+    # of step time): per (category, bound-by) totals plus, for each bound
+    # class, the time-weighted achieved rate — GFLOP/s for compute-bound ops
+    # vs the v5e bf16 peak (394 TFLOP/s), GiB/s for HBM-bound ops vs the v5e
+    # HBM peak (~819 GB/s = 763 GiB/s). "At the roofline" means the weighted
+    # rate is near peak; a low rate with tiny per-op times means the bucket is
+    # dispatch/granularity-bound, not bandwidth-starved.
+    roofline: dict[str, dict] = {}
+    for o in ops:
+        bound = str(o.get("bound_by") or "Unknown")
+        b = roofline.setdefault(
+            bound,
+            {"ms_per_step": 0.0, "n_ops": 0, "_rate_num": 0.0, "_rate_den": 0.0,
+             "by_category_ms": {}},
+        )
+        b["ms_per_step"] += o["total_us"] * per_step_scale
+        b["n_ops"] += int(o.get("occurrences") or 0)
+        cat_ms = b["by_category_ms"]
+        cat_ms[o["category"]] = (
+            cat_ms.get(o["category"], 0.0) + o["total_us"] * per_step_scale
+        )
+        rate = {
+            "Compute": o.get("gflops_per_sec"),
+            "HBM": o.get("hbm_gib_per_sec"),
+        }.get(bound)
+        if rate:
+            b["_rate_num"] += float(rate) * o["total_us"]
+            b["_rate_den"] += o["total_us"]
+    for bound, b in roofline.items():
+        num, den = b.pop("_rate_num"), b.pop("_rate_den")
+        b["ms_per_step"] = round(b["ms_per_step"], 3)
+        b["by_category_ms"] = {
+            k: round(v, 3)
+            for k, v in sorted(b["by_category_ms"].items(), key=lambda kv: -kv[1])
+        }
+        if den:
+            key = {"Compute": "weighted_gflops_per_sec",
+                   "HBM": "weighted_hbm_gib_per_sec"}[bound]
+            b[key] = round(num / den, 1)
+            if bound == "Compute":
+                b["pct_of_v5e_bf16_peak"] = round(100.0 * (num / den) / 394_000, 1)
+            else:
+                b["pct_of_v5e_hbm_peak"] = round(100.0 * (num / den) / 763.0, 1)
+
     summary = {
         "config": args.which,
         "n_steps_traced": n_steps,
@@ -188,6 +232,9 @@ def main() -> None:
             k: round(v * per_step_scale, 3)
             for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
         },
+        "roofline_by_bound": dict(
+            sorted(roofline.items(), key=lambda kv: -kv[1]["ms_per_step"])
+        ),
         "top_ops_ms_per_step": [
             {**d, "ms_per_step": round(d.pop("total_us") * per_step_scale, 3)}
             for d in ops[:40]

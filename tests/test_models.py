@@ -293,58 +293,3 @@ class TestHead:
         assert float(jnp.linalg.norm(grads["out_proj"]["w"])) > 0
         assert float(jnp.linalg.norm(grads["gru"][0]["w_hh"])) > 0
 
-
-class TestPaddedGridEncoder:
-    """VIFORSDES_PAD_GRID=1: tile-exact token grid with masked attention must
-    be semantically identical to the unpadded encoder (fp32, values + grads)."""
-
-    def _build_pair(self, monkeypatch):
-        cfg = EncoderConfig(hidden_dim=16, cond_dim=8, num_heads=2, depth=2)
-        kwargs = dict(
-            obs_times=np.asarray([0.0, 1.0, 2.0]), time_horizon=2.0, time_step=0.5
-        )
-        monkeypatch.delenv("VIFORSDES_PAD_GRID", raising=False)
-        plain = ObservationContextEncoder.build(1, 3, cfg, **kwargs)
-        monkeypatch.setenv("VIFORSDES_PAD_GRID", "1")
-        padded = ObservationContextEncoder.build(1, 3, cfg, **kwargs)
-        return plain, padded
-
-    def test_padding_geometry(self, monkeypatch):
-        plain, padded = self._build_pair(monkeypatch)
-        assert plain.padded_grid == plain.n_grid == 5
-        assert padded.padded_grid == 128
-        assert padded._key_mask is not None
-        assert int(padded._key_mask.sum()) == 5
-
-    def test_padded_matches_unpadded_values_and_grads(self, monkeypatch):
-        plain, padded = self._build_pair(monkeypatch)
-        params = plain.init(jax.random.key(0))
-        # activate the zero-init adaLN gates so attention output matters
-        params = jax.tree.map(
-            lambda p: p + 0.05 * jax.random.normal(jax.random.key(7), p.shape), params
-        )
-        obs_values = jnp.asarray([[2.0], [1.0], [0.5]])
-        theta = jax.random.normal(jax.random.key(1), (3, 3))
-
-        def loss(enc, params):
-            ctx = enc(params, obs_values, theta, compute_dtype=jnp.float32)
-            return jnp.sum(ctx**2), ctx
-
-        (want, ctx_want), g_want = jax.value_and_grad(
-            lambda p: loss(plain, p), has_aux=True
-        )(params)
-        (got, ctx_got), g_got = jax.value_and_grad(
-            lambda p: loss(padded, p), has_aux=True
-        )(params)
-        assert ctx_got.shape == ctx_want.shape
-        np.testing.assert_allclose(
-            np.asarray(ctx_got), np.asarray(ctx_want), atol=1e-5
-        )
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
-            ),
-            g_got,
-            g_want,
-        )

@@ -255,42 +255,6 @@ class TestAttention:
             np.asarray(jnp.swapaxes(g_flash[1], 1, 2)), np.asarray(g_dense[1]), rtol=3e-4, atol=3e-5
         )
 
-    def test_dense_qk_prep_branch_matches_unfused(self, monkeypatch):
-        """VIFORSDES_QK_PREP_DENSE=1 (short-grid fused QK prep, round 3):
-        the transpose-sandwiched kernel wiring == the unfused dense branch,
-        values AND gradients, interpret mode standing in for Mosaic on CPU."""
-        import functools
-        import importlib
-
-        attn_mod = importlib.import_module("viforsdes_tpu.ops.attention")
-        from viforsdes_tpu.ops.embeddings import precompute_rope
-        from viforsdes_tpu.ops.pallas.qk_prep import qk_prep
-
-        cfg = AttentionConfig(embed_dim=16, num_heads=4, residual_v=True)
-        params = attention_init(jax.random.key(0), cfg)
-        s = 37  # not block-aligned
-        rope = precompute_rope(4, end=s)
-        x = jax.random.normal(jax.random.key(1), (2, s, 16))
-        v0 = jax.random.normal(jax.random.key(2), (2, s, 4, 4))
-
-        def loss(x, v0):
-            out, v = attention(params, cfg, x, rotary=rope, v0=v0)
-            return jnp.sum(out**2) + jnp.sum(jnp.sin(v))
-
-        l_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(x, v0)
-
-        monkeypatch.setenv("VIFORSDES_QK_PREP_DENSE", "1")
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(
-            attn_mod, "qk_prep", functools.partial(qk_prep, interpret=True)
-        )
-        l_fused, g_fused = jax.value_and_grad(loss, argnums=(0, 1))(x, v0)
-
-        np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-5)
-        np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]), rtol=3e-4, atol=3e-5)
-        np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]), rtol=3e-4, atol=3e-5)
-
-
 class TestDenseRematSDPA:
     def test_matches_dot_product_attention(self):
         """_dense_sdpa_remat == jax.nn.dot_product_attention, values + grads
@@ -380,70 +344,3 @@ class TestSiTRemat:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
 
-
-class TestDenseNativeLayout:
-    def test_native_remat_matches_standard_layout(self):
-        """_dense_sdpa_remat_native over [B,H,S,D] == _dense_sdpa_remat over
-        [B,S,H,D] (values + grads), with and without a key-padding bias."""
-        from viforsdes_tpu.ops.attention import (
-            _dense_sdpa_remat,
-            _dense_sdpa_remat_native,
-        )
-
-        kq, kk, kv, kc = jax.random.split(jax.random.key(3), 4)
-        b, s, h, d = 2, 11, 2, 8
-        q = jax.random.normal(kq, (b, s, h, d))
-        k = jax.random.normal(kk, (b, s, h, d))
-        v = jax.random.normal(kv, (b, s, h, d))
-        ct = jax.random.normal(kc, (b, s, h, d))
-        mask = jnp.asarray([True] * 7 + [False] * 4)
-        bias = jnp.where(mask, 0.0, -1e9)[None, None, None, :]
-        swap = lambda x: jnp.swapaxes(x, 1, 2)
-
-        for bias_arg in (None, bias):
-            want = _dense_sdpa_remat(q, k, v, bias_arg)
-            got = swap(_dense_sdpa_remat_native(swap(q), swap(k), swap(v), bias_arg))
-            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
-
-            def loss_std(q, k, v):
-                return jnp.sum(_dense_sdpa_remat(q, k, v, bias_arg) * ct)
-
-            def loss_nat(q, k, v):
-                return jnp.sum(
-                    swap(_dense_sdpa_remat_native(swap(q), swap(k), swap(v), bias_arg)) * ct
-                )
-
-            g_want = jax.grad(loss_std, argnums=(0, 1, 2))(q, k, v)
-            g_got = jax.grad(loss_nat, argnums=(0, 1, 2))(q, k, v)
-            for gg, gw in zip(g_got, g_want):
-                np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=3e-6)
-
-    def test_attention_native_flag_parity(self, monkeypatch):
-        """Full attention op under VIFORSDES_DENSE_NATIVE=1 == default path
-        (values + grads through a scalar loss)."""
-        from viforsdes_tpu.ops.attention import AttentionConfig, attention, attention_init
-        from viforsdes_tpu.ops.embeddings import precompute_rope
-
-        cfg = AttentionConfig(embed_dim=16, num_heads=2, residual_v=False)
-        params = attention_init(jax.random.key(0), cfg)
-        x = jax.random.normal(jax.random.key(1), (2, 9, 16))
-        rot = precompute_rope(8, end=9)
-
-        def loss(params, x):
-            out, _ = attention(params, cfg, x, rotary=rot)
-            return jnp.sum(out**2)
-
-        monkeypatch.delenv("VIFORSDES_DENSE_NATIVE", raising=False)
-        want = loss(params, x)
-        g_want = jax.grad(loss)(params, x)
-        monkeypatch.setenv("VIFORSDES_DENSE_NATIVE", "1")
-        got = loss(params, x)
-        g_got = jax.grad(loss)(params, x)
-        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=5e-6
-            ),
-            g_got,
-            g_want,
-        )

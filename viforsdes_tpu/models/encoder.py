@@ -65,32 +65,16 @@ class ObservationContextEncoder:
             depth=config.depth,
             mlp_hidden_dim=int(config.hidden_dim * config.mlp_ratio),
         )
-        # Padded-grid fast path (round-3 trace lead, BASELINE.md): the OU
-        # headline grid is S=101, so every [., S]-shaped tile pads to 128
-        # lanes implicitly and the attention-bwd relayouts are unaligned.
-        # Padding the token grid once to a multiple of 128 makes every SiT
-        # shape tile-exact; a static key mask keeps attention semantically
-        # identical (padded keys excluded from every softmax, padded query
-        # rows sliced away below). Dense path only — the flash kernel pads
-        # internally. Opt-in (VIFORSDES_PAD_GRID=1) pending the end-to-end
-        # measurement; adds ~27% M-rows to the QKV/MLP matmuls, so it only
-        # wins if those are granularity- rather than FLOP-bound.
-        import os as _os
-        from viforsdes_tpu.ops.flash_attention import use_flash_attention
-
-        pad_on = _os.environ.get("VIFORSDES_PAD_GRID", "0") == "1"
-        if pad_on and not use_flash_attention(n_grid) and n_grid % 128 != 0:
-            self.padded_grid = ((n_grid + 127) // 128) * 128
-            mask = np.zeros(self.padded_grid, dtype=bool)
-            mask[:n_grid] = True
-            self._key_mask = jnp.asarray(mask)
-        else:
-            self.padded_grid = n_grid
-            self._key_mask = None
+        # Padded-grid fast path (S=101 -> 128 tile-exact tokens + static key
+        # mask) was built and measured round 4 and LOSES end-to-end: 11.80 vs
+        # 10.28 ms/step at the OU headline (profile_dense_variants.py,
+        # interleaved; BASELINE.md) — the +27% M-rows it adds to every
+        # QKV/MLP matmul cost more than the unaligned-tile copies it removes,
+        # so the grid stays at its natural length.
         self.rotary: RotaryTables = precompute_rope(
             config.hidden_dim // config.num_heads,
-            end=max(_ROPE_MIN_LEN, self.padded_grid),
-        ).slice_to(self.padded_grid)
+            end=max(_ROPE_MIN_LEN, n_grid),
+        ).slice_to(n_grid)
         self._fused_blocks: list | None = None
 
     @classmethod
@@ -201,9 +185,7 @@ class ObservationContextEncoder:
         only when it wins an interleaved end-to-end measurement.
         """
         mode = getattr(self.config, "fused_blocks", "off")
-        # The padded-grid experiment and the fused stack are mutually
-        # exclusive (the stack spec is built at the unpadded grid length).
-        return mode == "on" and self.padded_grid == self.n_grid
+        return mode == "on"
 
     def _cond(self, params: dict, sde_parameters: Array) -> Array:
         """3-layer SiLU MLP theta -> cond (ref ``encoder.py:34-40``)."""
@@ -228,9 +210,7 @@ class ObservationContextEncoder:
         h = h.at[self.obs_slot_indices].set(obs_tokens)
         h = h + sinusoidal_embedding(self.grid_times, self.hidden_dim)
 
-        if self.padded_grid != self.n_grid:
-            h = jnp.pad(h, ((0, self.padded_grid - self.n_grid), (0, 0)))
-        h = jnp.broadcast_to(h[None], (batch, self.padded_grid, self.hidden_dim))
+        h = jnp.broadcast_to(h[None], (batch, self.n_grid, self.hidden_dim))
 
         # cond stays [B, C]: it is constant over the grid, so the SiT blocks
         # run the adaLN projection once per sample and broadcast over tokens.
@@ -247,8 +227,5 @@ class ObservationContextEncoder:
                 h.astype(compute_dtype),
                 cond=cond.astype(compute_dtype),
                 rotary=self.rotary,
-                key_mask=self._key_mask,
             )
-        if self.padded_grid != self.n_grid:
-            context = context[:, : self.n_grid]
         return context.astype(jnp.float32)

@@ -78,7 +78,7 @@ def _rope_heads(x: Array, rotary: RotaryTables | None) -> Array:
 
 
 @jax.checkpoint
-def _dense_sdpa_remat(q: Array, k: Array, v: Array, bias: Array | None = None) -> Array:
+def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
     """Non-causal SDPA over ``[B, S, H, D]`` with NO attention-prob residuals.
 
     ``jax.nn.dot_product_attention``'s fp32 softmax leaves ``f32[B, H, S, S]``
@@ -89,42 +89,13 @@ def _dense_sdpa_remat(q: Array, k: Array, v: Array, bias: Array | None = None) -
     recomputes the probs from a small compute-bound matmul instead of
     streaming them from HBM. fp32 logits/softmax as before; the recomputed
     probs feed the MXU in the input dtype.
-
-    ``bias`` (additive, broadcast over ``[B, H, S_q, S_k]``) carries the
-    key-padding mask of the padded-grid path; it fuses into the softmax loop.
     """
     d = q.shape[-1]
     logits = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * (1.0 / d**0.5)
-    if bias is not None:
-        logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
-
-
-@jax.checkpoint
-def _dense_sdpa_remat_native(
-    q: Array, k: Array, v: Array, bias: Array | None = None
-) -> Array:
-    """`_dense_sdpa_remat` over the kernel-native ``[B, H, S, D]`` layout.
-
-    Candidate for the round-3 trace's "data formatting" bucket (8x
-    ``bf16[128,4,64,101]`` transposes in attention bwd): with q/k/v already
-    ``[B, H, S, D]`` every backward contraction stays in-layout, so XLA has no
-    relayout to insert. Opt-in via ``VIFORSDES_DENSE_NATIVE=1`` pending an
-    end-to-end measurement (the flash-path equivalent measured a wash,
-    BASELINE.md round 3 — but flash hides its own layout internally, so the
-    dense path needs its own number).
-    """
-    d = q.shape[-1]
-    logits = jnp.einsum(
-        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-    ) * (1.0 / d**0.5)
-    if bias is not None:
-        logits = logits + bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
 
 
 def attention(
@@ -134,17 +105,11 @@ def attention(
     *,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
-    key_mask: Array | None = None,
 ) -> tuple[Array, Array]:
     """``[B, S, E] -> ([B, S, E], v_state [B, S, H, D])``.
 
     Always returns the (post-mix) value state; callers that don't need it just
     drop it (the reference's ``return_value`` flag collapses to this).
-
-    ``key_mask`` (``[S]`` bool, True = real token) removes padded grid slots
-    from every softmax so the padded-grid fast path (models/encoder.py) is
-    semantically exact: padded queries produce garbage rows the encoder slices
-    away, and padded keys contribute nothing to real rows.
     """
     b, s, _ = hidden_states.shape
     h, d = cfg.num_heads, cfg.head_dim
@@ -162,11 +127,14 @@ def attention(
     # profile_flash_layout.py — XLA already folded those copies); it is kept
     # as the marginally simpler program. QK-RMSNorm and RoPE are
     # layout-agnostic (last-dim math), so both paths share them.
+    # Dense-native layout and padded-grid (S=101 -> 128) candidates for the
+    # short-grid path were built and measured round 4 and LOSE end-to-end
+    # (base 10.28 ms/step vs native 16.31, pad 11.80, both 18.15 —
+    # profile_dense_variants.py, interleaved; BASELINE.md round 4), so the
+    # dense path stays [B, S, H, D] unpadded and only flash uses the kernel
+    # layout.
     flash = use_flash_attention(s)
-    # Dense-native layout candidate (see _dense_sdpa_remat_native): opt-in,
-    # trace-time knob.
-    native = flash or os.environ.get("VIFORSDES_DENSE_NATIVE", "0") == "1"
-    if native:
+    if flash:
         q = jnp.swapaxes(q.reshape(b, s, h, d), 1, 2)  # [B, H, S, D]
         k = jnp.swapaxes(k.reshape(b, s, h, d), 1, 2)
         v = jnp.swapaxes(v.reshape(b, s, h, d), 1, 2)
@@ -187,29 +155,21 @@ def attention(
         and rotary.cos.shape[-1] * 2 == d
         and jax.default_backend() == "tpu"
         and os.environ.get("VIFORSDES_QK_PREP", "1") != "0"
-        # Dense-path use (short grids) is OPT-IN pending an end-to-end
-        # measurement: the same RMS-norm+RoPE streams exist at S=101, but the
-        # kernel wants [B, H, S, D] so the dense path pays two transposes.
-        # VIFORSDES_QK_PREP_DENSE=1 enables (trace-time knob).
-        and (native or os.environ.get("VIFORSDES_QK_PREP_DENSE", "0") == "1")
+        # Flash path only: on the short-grid dense path the same kernel
+        # (through the [B, H, S, D] transposes it needs) measured 16.37 vs
+        # 10.28 ms/step end-to-end (round 4, profile_dense_variants.py
+        # 'qkdense') — XLA already fuses the S=101 prep streams well.
+        and flash
     )
     if fuse_prep:
         cos, sin = rotary.cos[:s], rotary.sin[:s]
-        if native:
-            q = qk_prep(q, cos, sin, cfg.qk_norm_eps)
-            k = qk_prep(k, cos, sin, cfg.qk_norm_eps)
-        else:
-            q = jnp.swapaxes(
-                qk_prep(jnp.swapaxes(q, 1, 2), cos, sin, cfg.qk_norm_eps), 1, 2
-            )
-            k = jnp.swapaxes(
-                qk_prep(jnp.swapaxes(k, 1, 2), cos, sin, cfg.qk_norm_eps), 1, 2
-            )
+        q = qk_prep(q, cos, sin, cfg.qk_norm_eps)
+        k = qk_prep(k, cos, sin, cfg.qk_norm_eps)
     else:
         if cfg.qk_norm:
             q = rms_norm(q, eps=cfg.qk_norm_eps)
             k = rms_norm(k, eps=cfg.qk_norm_eps)
-        if native:
+        if flash:
             # already [B, H, S, D], the layout apply_rope_1d expects
             q = apply_rope_1d(q, rotary) if rotary is not None else q
             k = apply_rope_1d(k, rotary) if rotary is not None else k
@@ -223,46 +183,31 @@ def attention(
         lam = params["v_residual_lambda"].astype(v.dtype)
         v = lam * v + (1.0 - lam) * v0
 
-    # v state stays in the layout of the active path ([B, H, S, D] native,
-    # [B, S, H, D] otherwise) — it only flows between blocks of the same
-    # stack, which all take the same path (S is shared).
+    # v state stays in the layout of the active path ([B, H, S, D] flash,
+    # [B, S, H, D] dense) — it only flows between blocks of the same stack,
+    # which all take the same path (S is shared).
     v_out = v
 
-    if key_mask is not None and flash:
-        raise ValueError(
-            "key_mask is a dense-path feature: the flash kernel takes over "
-            "above the flash threshold and the encoder must not pad there"
-        )
-    bias = (
-        jnp.where(key_mask, 0.0, -1e9).astype(jnp.float32)[None, None, None, :]
-        if key_mask is not None
-        else None
-    )
     if flash:
         attn_output = flash_sdpa(q, k, v, kernel_layout=True)  # [B, H, S, D]
-    elif native:
-        attn_output = _dense_sdpa_remat_native(q, k, v, bias)
     elif os.environ.get("VIFORSDES_DENSE_REMAT", "1") != "0":
         # Default ON: device-op trace sums (the only noise-free yardstick on
         # this tunnel) measure 9.00 vs 9.25 ms/step at the OU headline —
         # remat trades +0.33 ms of recompute matmuls for −0.58 ms of
         # prob-residual HBM traffic (trace_ou_remat.json vs trace_ou.json).
         # VIFORSDES_DENSE_REMAT=0 restores the library SDPA (trace-time knob).
-        attn_output = _dense_sdpa_remat(q, k, v, bias)
+        attn_output = _dense_sdpa_remat(q, k, v)
     else:
-        attn_output = jax.nn.dot_product_attention(
-            q, k, v,
-            mask=key_mask[None, None, None, :] if key_mask is not None else None,
-        )
+        attn_output = jax.nn.dot_product_attention(q, k, v)
 
     if cfg.gate:
         gate_scores = jax.nn.sigmoid(linear(params["gate_proj"], hidden_states))
-        if native:
+        if flash:
             attn_output = attn_output * gate_scores[:, None, :, :]
         else:
             attn_output = attn_output * gate_scores[:, :, None, :]
 
-    if native:
+    if flash:
         attn_output = jnp.swapaxes(attn_output, 1, 2)  # back to [B, S, H, D]
     out = linear(params["out_proj"], attn_output.reshape(b, s, h * d))
     return out, v_out

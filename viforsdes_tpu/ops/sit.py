@@ -90,7 +90,6 @@ def sit_block(
     cond: Array,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
-    key_mask: Array | None = None,
 ) -> tuple[Array, Array]:
     """One SiT block: ``([B,S,H], cond [B,S,C] or [B,C]) -> ([B,S,H], value_state)``.
 
@@ -113,7 +112,6 @@ def sit_block(
         modulated,
         rotary=rotary,
         v0=v0,
-        key_mask=key_mask,
     )
     hidden_states = hidden_states + attn_branch.gate(attn_out)
 
@@ -153,7 +151,6 @@ def sit(
     cond: Array,
     rotary: RotaryTables | None = None,
     remat: bool | None = None,
-    key_mask: Array | None = None,
 ) -> Array:
     """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``)."""
     if remat is None:
@@ -167,8 +164,7 @@ def sit(
     for idx, block_params in enumerate(params["blocks"]):
         def block_fn(bp, tokens_, cond_, v0_, idx=idx):
             return sit_block(
-                bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_,
-                key_mask=key_mask,
+                bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_
             )
 
         if remat:
