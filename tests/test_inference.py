@@ -401,6 +401,83 @@ class TestNonFiniteSkip:
         new_params = optax.apply_updates(params, updates)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(new_params))
 
+    def test_fused_guard_matches_stock_optax_composition(self):
+        """The round-4 fused guard+clip (one global-norm reduction serving
+        both the finiteness test and the clip — the stock composition's
+        per-leaf isfinite pass cost ~0.47 ms/step on the OU trace) must
+        reproduce apply_if_finite(chain(clip_by_global_norm, multi)) on
+        finite gradients (values to 1e-6, incl. clip-active magnitudes),
+        reject NaN AND Inf steps without touching Adam moments, and keep the
+        exact checkpoint tree paths (pytree_io format_version 2). Finite
+        parity is to 1e-5: the shared-norm reduction reassociates at ulp
+        level vs the stock two-pass program."""
+        import optax
+
+        from viforsdes_tpu.inference.optimizer import (
+            make_optimizer,
+            param_group_labels,
+        )
+        from viforsdes_tpu.utils.pytree_io import flatten_pytree
+
+        cfg = TrainingConfig(time_step=0.25, batch_size=8, n_iterations=1)
+
+        def adamw(lr):
+            return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+        stock = optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm),
+                optax.multi_transform(
+                    {"rest": adamw(cfg.learning_rate), "theta": adamw(cfg.sde_param_lr)},
+                    param_group_labels,
+                ),
+            ),
+            max_consecutive_errors=1_000_000_000,
+        )
+        fused = make_optimizer(cfg)
+
+        params = {
+            "theta": {"mean": jnp.arange(3.0), "log_std": jnp.ones(3)},
+            "enc": {"w": jnp.linspace(-1.0, 1.0, 12).reshape(3, 4)},
+        }
+        s_stock, s_fused = stock.init(params), fused.init(params)
+
+        # identical checkpoint paths (old checkpoints restore unchanged)
+        assert set(flatten_pytree(s_stock, "o/")) == set(flatten_pytree(s_fused, "o/"))
+
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        for i, scale in enumerate([1e-3, 1.0, 50.0]):  # 50.0 activates the clip
+            gl = [
+                scale * jax.random.normal(jax.random.fold_in(jax.random.key(0), 100 * i + j), p.shape)
+                for j, p in enumerate(leaves)
+            ]
+            g = jax.tree_util.tree_unflatten(treedef, gl)
+            u_stock, s_stock = stock.update(g, s_stock, params)
+            u_fused, s_fused = fused.update(g, s_fused, params)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    # ulp-level reassociation of the shared-norm reduction,
+                    # amplified through Adam's rsqrt/divide
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10
+                ),
+                u_stock,
+                u_fused,
+            )
+
+        # Inf is rejected too (stricter than optax, which zero-clips Inf
+        # norms while still advancing Adam moments)
+        ginf = jax.tree.map(jnp.ones_like, params)
+        ginf["theta"]["mean"] = ginf["theta"]["mean"].at[0].set(jnp.inf)
+        inner_before = s_fused.inner_state
+        u_fused, s_fused = fused.update(ginf, s_fused, params)
+        assert all(float(jnp.abs(x).sum()) == 0 for x in jax.tree.leaves(u_fused))
+        assert int(s_fused.notfinite_count) == 1 and not bool(s_fused.last_finite)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            inner_before,
+            s_fused.inner_state,
+        )
+
 
 class TestLearnableObsVariance:
     """TrainingConfig.learn_obs_variance: a scalar log-variance parameter in

@@ -3,30 +3,41 @@
 Parity target: reference ``training_context.py:93-102`` (torch AdamW, default
 betas (0.9, 0.999), eps 1e-8, weight_decay 0.01; theta-posterior params at
 ``sde_param_lr``, everything else at ``learning_rate``) composed with the
-trainer's ``clip_grad_norm_(grad_clip_norm)`` (``trainer.py:199-204``) — in
-optax the clip is simply the first link of the chain.
+trainer's ``clip_grad_norm_(grad_clip_norm)`` (``trainer.py:199-204``).
 
-Beyond parity (round 3): the whole chain is wrapped in
-``optax.apply_if_finite``. ``clip_by_global_norm`` propagates a single NaN
-gradient into EVERY parameter (the global norm goes NaN), so one bad step —
-e.g. an aggressive likelihood variance early in training — used to poison
-the run irrecoverably (the round-3 first highdim ladder run ended all-NaN
-this way). Skipping non-finite updates is a strict safety net: it changes
-nothing on healthy steps and turns divergence into a recoverable stall.
-
-Abort semantics (round 4, advisor finding): optax's ``max_consecutive_errors``
-does NOT abort — past the threshold it gives up and APPLIES the non-finite
-update, silently poisoning every parameter (that is how the round-3
-obs_var=1e-4 highdim run ended all-NaN after 8,600 unattended seconds). It is
-therefore set far above reach here, ``notfinite_count`` is surfaced in the
-step metrics, and the TRAINER's host loop raises after
+Beyond parity (round 3): non-finite updates are SKIPPED instead of applied.
+``clip_by_global_norm`` propagates a single NaN gradient into EVERY parameter
+(the global norm goes NaN), so one bad step — e.g. an aggressive likelihood
+variance early in training — used to poison the run irrecoverably (the
+round-3 first highdim ladder run ended all-NaN this way). Skipping
+non-finite updates is a strict safety net: it changes nothing on healthy
+steps and turns divergence into a recoverable stall. ``notfinite_count`` is
+surfaced in the step metrics and the TRAINER's host loop raises after
 ``MAX_CONSECUTIVE_NONFINITE_STEPS`` consecutive bad steps — while params are
-still at their last finite values (``inference/trainer.py`` flush).
+still at their last finite values (``inference/trainer.py`` flush). Unlike
+``optax.apply_if_finite`` (whose ``max_consecutive_errors`` eventually gives
+up and APPLIES the poisoned update — round-4 advisor finding), this guard
+never applies a non-finite update.
+
+Fused guard+clip (round 4 perf): the stock composition
+``apply_if_finite(chain(clip_by_global_norm, ...))`` reduces over every
+gradient leaf TWICE — once for the per-leaf ``isfinite`` checks, once for the
+global norm. The round-4 OU trace put the isfinite pass at ~0.47 ms of a
+9.6 ms step (8x ``is-finite_reduce_fusion`` @ 59 us, ``trace_ou_r4.json``).
+Here the finiteness test IS the norm: a NaN/Inf in any leaf makes the global
+norm NaN/Inf, so one reduction serves both. (Difference from per-leaf
+checks: finite-but-huge gradients whose fp32 square-sum overflows to Inf are
+also rejected — such a step is pathological either way.) The state is a
+stock ``optax.ApplyIfFiniteState`` wrapping ``chain(identity, multi)``, with
+the stateless ``identity`` sitting where ``clip_by_global_norm`` (also
+stateless) used to, so checkpoint tree paths are unchanged across the
+rewrite (``utils/pytree_io.py`` format_version 2 still applies).
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from viforsdes_tpu.config import TrainingConfig
@@ -46,16 +57,56 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
     def adamw(lr: float) -> optax.GradientTransformation:
         return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
 
-    return optax.apply_if_finite(
-        optax.chain(
-            optax.clip_by_global_norm(config.grad_clip_norm),
-            optax.multi_transform(
-                {"rest": adamw(config.learning_rate), "theta": adamw(config.sde_param_lr)},
-                param_group_labels,
-            ),
+    inner = optax.chain(
+        # Stateless placeholder where clip_by_global_norm used to sit:
+        # clipping now happens in update() below off the shared norm, and
+        # keeping a chain of the same length preserves checkpoint paths.
+        optax.identity(),
+        optax.multi_transform(
+            {"rest": adamw(config.learning_rate), "theta": adamw(config.sde_param_lr)},
+            param_group_labels,
         ),
-        # Never reached by design: the trainer aborts from the host loop at
-        # MAX_CONSECUTIVE_NONFINITE_STEPS (100) consecutive bad steps, long
-        # before optax would "give up and accept" the non-finite update.
-        max_consecutive_errors=1_000_000_000,
     )
+    max_norm = float(config.grad_clip_norm)
+
+    def init(params):
+        return optax.ApplyIfFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            last_finite=jnp.array(True, jnp.bool_),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update(updates, state, params=None):
+        g_norm = optax.global_norm(updates)
+        isfinite = jnp.isfinite(g_norm)
+
+        def do_update(_):
+            # optax.clip_by_global_norm semantics, reusing the norm above.
+            trigger = g_norm < max_norm
+            clipped = jax.tree.map(
+                lambda t: jax.lax.select(
+                    trigger, t, (t / g_norm.astype(t.dtype)) * max_norm
+                ),
+                updates,
+            )
+            return inner.update(clipped, state.inner_state, params)
+
+        def reject_update(_):
+            return jax.tree.map(jnp.zeros_like, updates), state.inner_state
+
+        new_updates, new_inner = jax.lax.cond(
+            isfinite, do_update, reject_update, None
+        )
+        return new_updates, optax.ApplyIfFiniteState(
+            notfinite_count=jnp.where(
+                isfinite, jnp.zeros([], jnp.int32), state.notfinite_count + 1
+            ),
+            last_finite=isfinite,
+            total_notfinite=jnp.where(
+                isfinite, state.total_notfinite, state.total_notfinite + 1
+            ),
+            inner_state=new_inner,
+        )
+
+    return optax.GradientTransformation(init, update)
