@@ -265,6 +265,8 @@ def run_highdim(
     warmup: int = 500,
     init_std: float = 0.5,
     learn_obs_var: bool = False,
+    obs_var_final: float | None = None,
+    anneal_steps: int = 0,
     checkpoint_every: int | None = None,
     name: str = "highdim",
 ) -> dict:
@@ -302,6 +304,8 @@ def run_highdim(
                 iw_samples=iw_samples, theta_full_covariance=full_cov,
                 grad_accum_steps=grad_accum_steps,
                 learn_obs_variance=learn_obs_var,
+                obs_variance_final=obs_var_final,
+                obs_variance_anneal_steps=anneal_steps,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
             head=vt.HeadConfig(hidden_dim=128, num_layers=2),
@@ -336,6 +340,8 @@ def run_highdim(
         "pretrain_global_objective": vt.PretrainConfig().global_objective,
         "learn_obs_variance": learn_obs_var,
         "learned_obs_variance": posterior.observation_variance(),
+        "obs_variance_final": obs_var_final,
+        "obs_variance_anneal_steps": anneal_steps,
     }
     (Path(__file__).parent / f"results_{name}.json").write_text(
         json.dumps(result, indent=2)
@@ -488,6 +494,8 @@ if __name__ == "__main__":
             ("--warmup", int, "warmup"),
             ("--init-std", float, "init_std"),
             ("--ckpt-every", int, "checkpoint_every"),
+            ("--obs-var-final", float, "obs_var_final"),
+            ("--anneal-steps", int, "anneal_steps"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:

@@ -479,6 +479,82 @@ class TestNonFiniteSkip:
         )
 
 
+class TestObsVarianceAnneal:
+    """TrainingConfig.obs_variance_final: deterministic log-linear anneal of
+    the claimed observation variance (round-4 replacement for the LEARNED
+    variance on the ladder-5 config, where the variance's early-training MLE
+    gradient points UP and the claim inflated 0.01 -> 0.048,
+    results_highdim_r4.json)."""
+
+    def _cfg(self, **kw):
+        base = dict(
+            time_step=0.25, batch_size=8, n_iterations=6,
+            obs_variance_final=1e-3, obs_variance_anneal_steps=100,
+            theta_warmup_steps=2,
+        )
+        base.update(kw)
+        return TrainingConfig(**base)
+
+    def test_schedule_values(self):
+        trainer = _make_trainer(train_config=self._cfg())
+        v0, vf, warmup = 0.1, 1e-3, 2
+        # frozen at the claimed value through warmup
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(jnp.int32(0))), v0, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(jnp.int32(warmup))), v0, rtol=1e-6
+        )
+        # log-linear midpoint = geometric mean
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(jnp.int32(warmup + 50))),
+            float(np.sqrt(v0 * vf)),
+            rtol=1e-5,
+        )
+        # held at the final value from the end of the schedule on
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(jnp.int32(warmup + 100))), vf, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(jnp.int32(10_000))), vf, rtol=1e-6
+        )
+        # step=None (post-training evaluation) resolves to the final value
+        np.testing.assert_allclose(
+            float(trainer._annealed_obs_variance(None)), vf, rtol=1e-6
+        )
+
+    def test_train_runs_chunked_and_per_step(self):
+        # chunked dispatch (steps_per_call) and the per-step path both thread
+        # the step index into the schedule; both must train to finite ELBOs
+        for spc in (1, 3):
+            trainer = _make_trainer(train_config=self._cfg(steps_per_call=spc))
+            state = trainer.train(update_interval=6)
+            assert np.all(np.isfinite(state.evidence_lower_bound_history))
+
+    def test_validators(self):
+        with pytest.raises(ValueError, match="anneal_steps"):
+            TrainingConfig(
+                time_step=0.25, batch_size=8, n_iterations=5,
+                obs_variance_final=1e-3,
+            )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            TrainingConfig(
+                time_step=0.25, batch_size=8, n_iterations=5,
+                obs_variance_final=1e-3, obs_variance_anneal_steps=10,
+                learn_obs_variance=True,
+            )
+        with pytest.raises(ValueError, match="requires obs_variance_final"):
+            TrainingConfig(
+                time_step=0.25, batch_size=8, n_iterations=5,
+                obs_variance_anneal_steps=10,
+            )
+        # anneal must tighten, not loosen, the claim
+        with pytest.raises(ValueError, match="below the likelihood"):
+            _make_trainer(
+                train_config=self._cfg(obs_variance_final=0.5)
+            )
+
+
 class TestLearnableObsVariance:
     """TrainingConfig.learn_obs_variance: a scalar log-variance parameter in
     the ELBO's observation term (beyond-reference; the reference's

@@ -95,6 +95,20 @@ class TrainingConfig(YamlConfig):
     # pinning paths to the observations — claiming a tiny FIXED variance
     # instead diverges (the round-3 obs_var=1e-4 run ended all-NaN).
     learn_obs_variance: bool = False
+    # Deterministic observation-variance annealing (beyond-reference). The
+    # round-4 ladder-5 run falsified the LEARNED variance for this purpose:
+    # early in training the path residuals are large, so the variance's MLE
+    # gradient points UP — the claimed variance inflated 0.01 -> 0.048 and
+    # the ELBO booked path variation as observation noise (full degenerate
+    # collapse, kappa 0.62 / sigma 0.134, results_highdim_r4.json). The
+    # anneal forces the descent instead: the claimed variance follows a
+    # log-linear schedule from the likelihood's value down to
+    # obs_variance_final over obs_variance_anneal_steps steps (starting
+    # after theta_warmup_steps), then holds. Gradual tightening avoids the
+    # init-shock that made a small FIXED claim diverge (round-3 obs_var=1e-4
+    # run, all-NaN).
+    obs_variance_final: float | None = None
+    obs_variance_anneal_steps: int = 0
     # Gradient accumulation: split the batch into grad_accum_steps sequential
     # microbatches inside the jitted step (lax.scan), averaging gradients and
     # metrics. Mathematically EXACT for this objective (the ELBO/IWAE bound is
@@ -131,6 +145,26 @@ class TrainingConfig(YamlConfig):
         if v < 1:
             raise ValueError("grad_accum_steps must be >= 1")
         return v
+
+    @model_validator(mode="after")
+    def validate_obs_variance_anneal(self) -> "TrainingConfig":
+        if self.obs_variance_final is not None:
+            if self.obs_variance_final <= 0:
+                raise ValueError("obs_variance_final must be > 0")
+            if self.obs_variance_anneal_steps < 1:
+                raise ValueError(
+                    "obs_variance_final requires obs_variance_anneal_steps >= 1"
+                )
+            if self.learn_obs_variance:
+                raise ValueError(
+                    "obs_variance_final (deterministic anneal) and "
+                    "learn_obs_variance are mutually exclusive"
+                )
+        elif self.obs_variance_anneal_steps != 0:
+            raise ValueError(
+                "obs_variance_anneal_steps requires obs_variance_final"
+            )
+        return self
 
     @model_validator(mode="after")
     def validate_iw_divides_batch(self) -> "TrainingConfig":

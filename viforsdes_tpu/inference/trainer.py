@@ -181,6 +181,18 @@ class VariationalInferenceTrainer:
                     dtype=jnp.float32,
                 )
             }
+        if config.obs_variance_final is not None:
+            # Deterministic anneal (config.py rationale: the learned variance
+            # inflates early in training — round-4 ladder-5 falsification).
+            if not isinstance(observation_likelihood, GaussianObservationLikelihood):
+                raise ValueError(
+                    "obs_variance_final requires a GaussianObservationLikelihood"
+                )
+            if config.obs_variance_final >= observation_likelihood.variance:
+                raise ValueError(
+                    "obs_variance_final must be below the likelihood's claimed "
+                    "variance (the anneal only tightens the claim)"
+                )
         self.optimizer = make_optimizer(config)
         self.opt_state = self.optimizer.init(self.params)
         self.ema_params = ema_init(self.params)
@@ -287,8 +299,28 @@ class VariationalInferenceTrainer:
             return x
         return jax.lax.with_sharding_constraint(x, self._batch_sharding)
 
+    def _annealed_obs_variance(self, step: Array | None) -> Array:
+        """Claimed observation variance at ``step`` under the deterministic
+        log-linear anneal (``config.obs_variance_final`` over
+        ``config.obs_variance_anneal_steps`` steps, starting after
+        ``theta_warmup_steps``). ``step=None`` — post-training evaluation —
+        resolves to the final (tightest) value."""
+        vf = float(self.config.obs_variance_final)
+        if step is None:
+            return jnp.float32(vf)
+        v0 = float(self.observation_likelihood.variance)
+        t = jnp.clip(
+            (jnp.asarray(step, jnp.float32) - self.config.theta_warmup_steps)
+            / float(self.config.obs_variance_anneal_steps),
+            0.0,
+            1.0,
+        )
+        return jnp.exp(
+            (1.0 - t) * float(np.log(v0)) + t * float(np.log(vf))
+        ).astype(jnp.float32)
+
     def _elbo_from_params(
-        self, params: dict, key: Array, batch_size: int
+        self, params: dict, key: Array, batch_size: int, step: Array | None = None
     ) -> EvidenceLowerBoundResult:
         k_theta, k_path = jax.random.split(key)
         iw = self.config.iw_samples
@@ -314,11 +346,14 @@ class VariationalInferenceTrainer:
             k_path,
             compute_dtype=self.config.compute_dtype.value_dtype,
         )
-        obs_variance = (
-            OBS_VARIANCE_FLOOR + jnp.exp(params["obs"]["log_variance"])
-            if self.config.learn_obs_variance
-            else None
-        )
+        if self.config.obs_variance_final is not None:
+            obs_variance = self._annealed_obs_variance(step)
+        elif self.config.learn_obs_variance:
+            obs_variance = OBS_VARIANCE_FLOOR + jnp.exp(
+                params["obs"]["log_variance"]
+            )
+        else:
+            obs_variance = None
         return compute_evidence_lower_bound(
             self.sde,
             self.observations,
@@ -334,15 +369,18 @@ class VariationalInferenceTrainer:
             obs_variance=obs_variance,
         )
 
-    def _step_math(self, params, opt_state, ema, key, theta_scale):
+    def _step_math(self, params, opt_state, ema, key, theta_scale, step=None):
         """One optimizer step (shared by the single-step and scan-chunked
-        dispatch paths — identical math, so chunking cannot drift)."""
+        dispatch paths — identical math, so chunking cannot drift). ``step``
+        (traced int32) only feeds schedules that depend on the step index —
+        currently the observation-variance anneal; None when no such
+        schedule is active."""
         batch_size = self.config.batch_size
         accum = self.config.grad_accum_steps
         micro = batch_size // accum
 
         def loss_fn(params: dict, key: Array):
-            result = self._elbo_from_params(params, key, micro)
+            result = self._elbo_from_params(params, key, micro, step=step)
             return -result.evidence_lower_bound, result
 
         if accum == 1:
@@ -417,8 +455,8 @@ class VariationalInferenceTrainer:
 
     def _build_train_step(self) -> Callable:
         @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(params, opt_state, ema, key, theta_scale=None):
-            return self._step_math(params, opt_state, ema, key, theta_scale)
+        def train_step(params, opt_state, ema, key, theta_scale=None, step=None):
+            return self._step_math(params, opt_state, ema, key, theta_scale, step)
 
         return train_step
 
@@ -441,7 +479,8 @@ class VariationalInferenceTrainer:
                 step, theta_scale = x
                 key = jax.random.fold_in(self._train_key, step)
                 params, opt_state, ema, metrics = self._step_math(
-                    params, opt_state, ema, key, theta_scale
+                    params, opt_state, ema, key, theta_scale,
+                    step if self.config.obs_variance_final is not None else None,
                 )
                 return (params, opt_state, ema), metrics
 
@@ -594,19 +633,24 @@ class VariationalInferenceTrainer:
                         step += chunk
                     else:
                         key = jax.random.fold_in(self._train_key, step)
+                        step_arg = (
+                            jnp.int32(step)
+                            if self.config.obs_variance_final is not None
+                            else None
+                        )
                         if warmup > 0:
                             theta_scale = jnp.float32(0.0 if step < warmup else 1.0)
                             self.params, self.opt_state, self.ema_params, metrics = (
                                 self._train_step(
                                     self.params, self.opt_state, self.ema_params,
-                                    key, theta_scale,
+                                    key, theta_scale, step=step_arg,
                                 )
                             )
                         else:
                             self.params, self.opt_state, self.ema_params, metrics = (
                                 self._train_step(
                                     self.params, self.opt_state, self.ema_params,
-                                    key,
+                                    key, step=step_arg,
                                 )
                             )
                         pending.append((step, metrics))
