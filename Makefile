@@ -1,6 +1,6 @@
 # Developer entry points (mirrors the reference's Makefile tiers, SURVEY §4)
 
-.PHONY: test test-fast bench quality lint
+.PHONY: test test-fast bench quality lint typecheck
 
 test:            ## full CPU suite (Pallas interpret + virtual multi-chip)
 	python -m pytest tests/ -q
@@ -16,3 +16,6 @@ quality:         ## posterior-recovery evaluation (OU + LV) on the TPU
 
 lint:
 	python -m compileall -q viforsdes_tpu
+
+typecheck:       ## hardware-free typing tier (mypy --strict if installed, else typeguard runtime enforcement over the live path)
+	python tools/typecheck.py

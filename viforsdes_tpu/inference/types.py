@@ -3,9 +3,14 @@
 ``EvidenceLowerBoundComponents``/``Result`` are NamedTuples of arrays so they
 cross the jit boundary as pytrees. ``DiffusionPathSample`` is used inside
 traced code only (it carries the non-array ``StateSpace``).
-"""
 
-from __future__ import annotations
+No ``from __future__ import annotations`` here on purpose: the NamedTuple
+field annotations must be REAL classes, not strings — the typing tier
+(tools/typecheck.py) checks NamedTuple returns field-by-field, and a string
+annotation is resolved in the CALLER's module globals, where e.g.
+``EvidenceLowerBoundComponents`` need not be imported (trainer.py returns
+``EvidenceLowerBoundResult`` without importing the components type).
+"""
 
 from dataclasses import dataclass
 from typing import NamedTuple, TYPE_CHECKING

@@ -11,9 +11,6 @@ silences everything for headless runs (ref ``console.py:285-287``).
 from __future__ import annotations
 
 import time
-from contextlib import contextmanager
-from typing import Iterator
-
 import numpy as np
 
 try:
@@ -50,6 +47,12 @@ from rich.table import Table
 
 class _NullProgress:
     def update(self, *args, **kwargs) -> None:
+        pass
+
+    def __enter__(self) -> "_NullProgress":
+        return self
+
+    def __exit__(self, *exc) -> None:
         pass
 
 
@@ -212,28 +215,23 @@ class Console:
             table.add_row(str(name), str(getattr(value, "value", value)))
         self._rich.print(Panel(table, title="training config", border_style="blue"))
 
-    @contextmanager
     def training_progress(
         self,
         n_iterations: int,
         update_interval: int = 10,
         param_names: list[str] | None = None,
-    ) -> Iterator:
+    ) -> "TrainingProgress | _NullProgress":
+        """Context manager for the live panel (the progress objects manage
+        their own enter/exit; no ``@contextmanager`` wrapper so the return
+        annotation is honest for the typing tier)."""
         if not self.enabled:
-            yield _NullProgress()
-            return
-        with TrainingProgress(
-            self._rich, n_iterations, update_interval, param_names
-        ) as progress:
-            yield progress
+            return _NullProgress()
+        return TrainingProgress(self._rich, n_iterations, update_interval, param_names)
 
-    @contextmanager
-    def pretrain_progress(self, n_iterations: int) -> Iterator:
+    def pretrain_progress(self, n_iterations: int) -> "PretrainProgress | _NullProgress":
         if not self.enabled:
-            yield _NullProgress()
-            return
-        with PretrainProgress(self._rich, n_iterations) as progress:
-            yield progress
+            return _NullProgress()
+        return PretrainProgress(self._rich, n_iterations)
 
     def summary_table(self, summary, diagnostics, param_names: list[str] | None = None) -> None:
         """Mean/std/95% CI per theta dim + path stats (ref ``console.py:319-369``)."""
