@@ -31,6 +31,13 @@ body is unchanged library code:
 
 The forked function bodies are copied from jax 0.8.x flash_attention.py
 (Apache-2.0) with the changes marked ``FIX``/``lm128 FIX``.
+
+PINNED JAX: this fork tracks **jax/jaxlib 0.9.0** (the version whose
+``flash_attention.py`` internals it imports — ``_flash_attention_dkv_kernel``
+etc. below; pinned in pyproject.toml and constraints.txt). On a jax bump:
+re-diff the library module, re-run tests/test_flash_attention.py (its
+fallback test covers import breakage; the interpret-mode parity tests cover
+semantic drift), and update this note.
 """
 
 from __future__ import annotations
