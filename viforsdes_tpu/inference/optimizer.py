@@ -98,13 +98,19 @@ def make_optimizer(config: TrainingConfig) -> optax.GradientTransformation:
         new_updates, new_inner = jax.lax.cond(
             isfinite, do_update, reject_update, None
         )
+        # saturating increments (optax safe_increment semantics): the stock
+        # ApplyIfFiniteState counters never wrap int32
         return new_updates, optax.ApplyIfFiniteState(
             notfinite_count=jnp.where(
-                isfinite, jnp.zeros([], jnp.int32), state.notfinite_count + 1
+                isfinite,
+                jnp.zeros([], jnp.int32),
+                optax.safe_increment(state.notfinite_count),
             ),
             last_finite=isfinite,
             total_notfinite=jnp.where(
-                isfinite, state.total_notfinite, state.total_notfinite + 1
+                isfinite,
+                state.total_notfinite,
+                optax.safe_increment(state.total_notfinite),
             ),
             inner_state=new_inner,
         )

@@ -375,6 +375,17 @@ class VariationalInferenceTrainer:
         (traced int32) only feeds schedules that depend on the step index —
         currently the observation-variance anneal; None when no such
         schedule is active."""
+        if self.config.obs_variance_final is not None and step is None:
+            # A training caller that forgets to thread the step while the
+            # anneal is active would otherwise silently train at the FINAL
+            # (tightest) claimed variance from step 0 — exactly the
+            # fixed-small-variance divergence mode the anneal exists to
+            # avoid (round-3 all-NaN run, BASELINE.md). step=None stays
+            # legal only for post-training evaluation paths.
+            raise ValueError(
+                "obs_variance_final is set: training steps must thread the "
+                "step index into _step_math"
+            )
         batch_size = self.config.batch_size
         accum = self.config.grad_accum_steps
         micro = batch_size // accum
@@ -559,6 +570,12 @@ class VariationalInferenceTrainer:
                 )
                 smoothed_loss = loss_ema / (1 - LOSS_EMA_DECAY ** (step + 1))
                 self.evidence_lower_bound_history.append(elbo)
+                # Caveat under the obs-variance anneal: the objective's
+                # claimed variance changes every step, so history/EMA/best
+                # compare ELBOs computed against DIFFERENT variances —
+                # best-ELBO systematically favors early (loose-variance)
+                # steps. Diagnostic only (nothing snapshots params off it);
+                # don't read anneal-mode logs as regressing.
                 if elbo > self.best_evidence_lower_bound:
                     self.best_evidence_lower_bound = elbo
                 if callback is not None:
