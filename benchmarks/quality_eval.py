@@ -268,6 +268,7 @@ def run_highdim(
     obs_var_final: float | None = None,
     anneal_steps: int = 0,
     checkpoint_every: int | None = None,
+    resume_from: str | None = None,
     name: str = "highdim",
 ) -> dict:
     """Ladder config 5 quality (single chip; DP mechanics covered by
@@ -320,6 +321,7 @@ def run_highdim(
                 if checkpoint_every
                 else None
             ),
+            resume_from=resume_from,
         ),
     )
     elapsed = time.perf_counter() - t0
@@ -496,6 +498,7 @@ if __name__ == "__main__":
             ("--ckpt-every", int, "checkpoint_every"),
             ("--obs-var-final", float, "obs_var_final"),
             ("--anneal-steps", int, "anneal_steps"),
+            ("--resume", str, "resume_from"),
             ("--name", str, "name"),
         ]:
             if flag in sys.argv:

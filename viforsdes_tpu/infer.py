@@ -66,6 +66,12 @@ class InferenceConfig:
     callback: Callable[[int, float], None] | None = None
     checkpoint_every: int | None = None
     checkpoint_path: str | Path | None = None
+    # Resume an interrupted run from a trainer checkpoint written by
+    # ``checkpoint_every``/``checkpoint_path``: restores params + optimizer
+    # state + EMA and continues from the saved step (exactly — per-step keys
+    # are fold_in(base, step)). Pretraining is skipped (the checkpointed
+    # params already embed it). All other config must match the original run.
+    resume_from: str | Path | None = None
 
 
 class _InferenceInputs(BaseModel):
@@ -161,7 +167,9 @@ def infer(
         x0=cfg.x0,
     )
 
-    if cfg.pretrain and cfg.sde_param_init_mean is None:
+    if cfg.resume_from is not None:
+        trainer.restore_checkpoint(cfg.resume_from)
+    elif cfg.pretrain and cfg.sde_param_init_mean is None:
         pretrain_config = (
             cfg.pretrain if isinstance(cfg.pretrain, PretrainConfig) else None
         )
