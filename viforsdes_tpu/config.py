@@ -201,14 +201,13 @@ class EncoderConfig(YamlConfig):
     num_heads: int = 4
     depth: int = 4
     mlp_ratio: float = 8 / 3
-    # Fused Pallas SiT encoder kernel (ops/pallas/sit_stack.py):
-    #   "auto"  = currently the XLA path everywhere: interleaved measurement
-    #             (profile_encoder.py, v5e-1) has the fused stack slower than
-    #             XLA (14.5 vs 9.1 ms fwd+bwd at the headline shape); flips
-    #             to the kernel only when it wins end-to-end;
-    #   "on"    = force the whole-stack kernel (all blocks in one Pallas call);
-    #   "off"   = pure XLA path.
-    fused_blocks: str = "auto"
+    # The SiT stack runs as pure XLA (attention dispatches to the flash
+    # kernel beyond ops/attention.py's token threshold). Three generations of
+    # fused whole-stack Pallas encoder kernels (block, split, stack) were
+    # built, parity-tested, and measured across rounds 2-4; every one LOST
+    # the interleaved end-to-end measurement (stack: 14.5 vs 9.1 ms fwd+bwd
+    # at the headline shape; depth-8 Mosaic compile 338 s vs 41 s XLA), so
+    # the family was deleted in round 5 — see BASELINE.md for the record.
 
     @field_validator("hidden_dim", "cond_dim", "num_heads", "depth")
     @classmethod
@@ -222,13 +221,6 @@ class EncoderConfig(YamlConfig):
     def validate_positive_ratio(cls, v: float) -> float:
         if v <= 0:
             raise ValueError("mlp_ratio must be positive")
-        return v
-
-    @field_validator("fused_blocks")
-    @classmethod
-    def validate_fused(cls, v: str) -> str:
-        if v not in ("auto", "on", "off"):
-            raise ValueError("fused_blocks must be 'auto', 'on' or 'off'")
         return v
 
     @model_validator(mode="after")

@@ -75,7 +75,6 @@ class ObservationContextEncoder:
             config.hidden_dim // config.num_heads,
             end=max(_ROPE_MIN_LEN, n_grid),
         ).slice_to(n_grid)
-        self._fused_blocks: list | None = None
 
     @classmethod
     def build(
@@ -117,76 +116,6 @@ class ObservationContextEncoder:
             "sit": sit_init(k_sit, self.sit_config),
         }
 
-    # ------------------------------------------------------- fused SiT path
-
-    def _get_fused_blocks(self) -> list:
-        if self._fused_blocks is None:
-            cfg = self.config
-            interpret = jax.default_backend() != "tpu"
-            # interpret mode (CPU) has no MXU: use exact fp32 so the fused
-            # path matches the XLA path bit-for-bit
-            mxu = "fp32" if interpret else "bf16"
-            from viforsdes_tpu.ops.pallas.sit_stack import FusedSiTStack, SiTStackSpec
-
-            # Batch tiles scale down with grid length (the per-tile token
-            # rows and attention probs must stay within VMEM alongside the
-            # resident stacked weights).
-            sp = ((self.n_grid + 7) // 8) * 8
-            bt_fwd = max(1, 832 // sp)
-            bt_bwd = max(1, 416 // sp)
-            self._fused_blocks = [
-                FusedSiTStack(
-                    SiTStackSpec(
-                        seq_len=self.n_grid,
-                        embed_dim=cfg.hidden_dim,
-                        num_heads=cfg.num_heads,
-                        mlp_hidden=self.sit_config.mlp_hidden_dim,
-                        depth=cfg.depth,
-                        bt_fwd=bt_fwd,
-                        bt_bwd=bt_bwd,
-                        mxu_dtype=mxu,
-                        interpret=interpret,
-                    ),
-                    self.rotary.cos,
-                    self.rotary.sin,
-                )
-            ]
-        return self._fused_blocks
-
-    def _sit_fused(self, params: dict, h: Array, cond: Array) -> Array:
-        """Fused whole-stack SiT: input_proj -> FusedSiTStack -> output_proj.
-
-        Per block, the adaLN-Zero projection (one [B,C]@[C,6E] matmul whose
-        output is exactly the (s1|b1|g1|s2|b2|g2) layout the kernel wants)
-        stays in XLA; everything else runs inside the one stacked kernel."""
-        from viforsdes_tpu.ops.pallas.sit_stack import pack_stack_weights
-
-        sit_p = params["sit"]
-        stack = self._get_fused_blocks()[0]
-        tokens = linear(sit_p["input_proj"], h)
-        silu_cond = jax.nn.silu(cond)
-        cond_all = jnp.concatenate(
-            [linear(bp["cond"]["net"], silu_cond) for bp in sit_p["blocks"]],
-            axis=-1,
-        )
-        kw = pack_stack_weights(stack.spec, sit_p["blocks"])
-        tokens = stack(kw, tokens, cond_all)
-        return linear(sit_p["output_proj"], tokens)
-
-    def _use_fused(self) -> bool:
-        """Resolve fused_blocks config ("auto" | "on" | "off") to a decision.
-
-        "on" = the whole-stack fused kernel (ops/pallas/sit_stack.py), the
-        single family kept after round 2: of three fused-encoder generations
-        built and measured, none beat XLA end-to-end at the headline shape
-        (stack: 14.5 vs 9.1 ms fwd+bwd, benchmarks/profile_encoder.py,
-        interleaved), so "auto" resolves to the XLA path. The stack kernel
-        stays available explicitly and gradient-parity tested; flip "auto"
-        only when it wins an interleaved end-to-end measurement.
-        """
-        mode = getattr(self.config, "fused_blocks", "off")
-        return mode == "on"
-
     def _cond(self, params: dict, sde_parameters: Array) -> Array:
         """3-layer SiLU MLP theta -> cond (ref ``encoder.py:34-40``)."""
         l1, l2, l3 = params["sde_param_proj"]
@@ -216,16 +145,11 @@ class ObservationContextEncoder:
         # run the adaLN projection once per sample and broadcast over tokens.
         cond = self._cond(params, sde_parameters)
 
-        if self._use_fused():
-            context = self._sit_fused(
-                params, h.astype(compute_dtype), cond.astype(compute_dtype)
-            )
-        else:
-            context = sit(
-                params["sit"],
-                self.sit_config,
-                h.astype(compute_dtype),
-                cond=cond.astype(compute_dtype),
-                rotary=self.rotary,
-            )
+        context = sit(
+            params["sit"],
+            self.sit_config,
+            h.astype(compute_dtype),
+            cond=cond.astype(compute_dtype),
+            rotary=self.rotary,
+        )
         return context.astype(jnp.float32)
