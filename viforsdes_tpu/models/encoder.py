@@ -22,12 +22,15 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from viforsdes_tpu.config import EncoderConfig
 from viforsdes_tpu.ops.embeddings import RotaryTables, precompute_rope, sinusoidal_embedding
+from viforsdes_tpu.ops.flash_attention import _FLASH_BLOCK, use_flash_attention
 from viforsdes_tpu.ops.initializers import fan_in_uniform_linear_init, linear
 from viforsdes_tpu.ops.sit import SiTConfig, sit, sit_init
 
@@ -71,10 +74,13 @@ class ObservationContextEncoder:
         # interleaved; BASELINE.md) — the +27% M-rows it adds to every
         # QKV/MLP matmul cost more than the unaligned-tile copies it removes,
         # so the grid stays at its natural length.
+        # Rotary tables cover the hoisted-padding length too (both RoPE paths
+        # slice to the actual sequence internally).
+        self._padded_grid = n_grid + (-n_grid) % _FLASH_BLOCK
         self.rotary: RotaryTables = precompute_rope(
             config.hidden_dim // config.num_heads,
-            end=max(_ROPE_MIN_LEN, n_grid),
-        ).slice_to(n_grid)
+            end=max(_ROPE_MIN_LEN, self._padded_grid),
+        ).slice_to(self._padded_grid)
 
     @classmethod
     def build(
@@ -123,6 +129,23 @@ class ObservationContextEncoder:
         h = jax.nn.silu(linear(l2, h))
         return linear(l3, h)
 
+    def _hoist_pad(self) -> int:
+        """Hoisted-padding decision (round 5): when the flash path is active
+        and the grid is not a block multiple, pad the token stream ONCE here
+        (to ``_padded_grid``) instead of letting ``flash_sdpa`` pad q/k/v
+        around every kernel call. The round-5 Lorenz trace bills that
+        per-layer churn at ~8 ms/step (pad 5.2 + slice 2.9,
+        trace_lorenz_r5.json); the hoist trades it for +2.3% matmul rows at
+        S=2001→2048 (the round-4 OU pad-grid loss was at S=101→128 = +27%
+        rows — a different regime). ``VIFORSDES_PAD_HOIST=0`` disables;
+        ``=force`` enables off-TPU (CPU equivalence tests)."""
+        mode = os.environ.get("VIFORSDES_PAD_HOIST", "1")
+        if mode == "0" or self._padded_grid == self.n_grid:
+            return 0
+        if mode == "force" or use_flash_attention(self.n_grid):
+            return self._padded_grid - self.n_grid
+        return 0
+
     def __call__(
         self,
         params: dict,
@@ -139,7 +162,15 @@ class ObservationContextEncoder:
         h = h.at[self.obs_slot_indices].set(obs_tokens)
         h = h + sinusoidal_embedding(self.grid_times, self.hidden_dim)
 
-        h = jnp.broadcast_to(h[None], (batch, self.n_grid, self.hidden_dim))
+        # Hoisted padding: pad the BATCH-INDEPENDENT [T, H] template (1 MB at
+        # the Lorenz shape) to the flash block multiple, so no per-layer
+        # q/k/v pad/slice pairs appear inside the SiT stack.
+        pad = self._hoist_pad()
+        if pad:
+            h = jnp.pad(h, ((0, pad), (0, 0)))
+        s_tokens = self.n_grid + pad
+
+        h = jnp.broadcast_to(h[None], (batch, s_tokens, self.hidden_dim))
 
         # cond stays [B, C]: it is constant over the grid, so the SiT blocks
         # run the adaLN projection once per sample and broadcast over tokens.
@@ -151,5 +182,8 @@ class ObservationContextEncoder:
             h.astype(compute_dtype),
             cond=cond.astype(compute_dtype),
             rotary=self.rotary,
+            real_len=self.n_grid if pad else None,
         )
+        if pad:
+            context = context[:, : self.n_grid]
         return context.astype(jnp.float32)

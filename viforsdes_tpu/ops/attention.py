@@ -18,6 +18,7 @@ and softmax accumulate in fp32 while inputs may be bf16.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -77,8 +78,10 @@ def _rope_heads(x: Array, rotary: RotaryTables | None) -> Array:
     return jnp.swapaxes(bshd, 1, 2)
 
 
-@jax.checkpoint
-def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
+@functools.partial(jax.checkpoint, static_argnums=(3,))
+def _dense_sdpa_remat_impl(
+    q: Array, k: Array, v: Array, real_len: int | None
+) -> Array:
     """Non-causal SDPA over ``[B, S, H, D]`` with NO attention-prob residuals.
 
     ``jax.nn.dot_product_attention``'s fp32 softmax leaves ``f32[B, H, S, S]``
@@ -94,8 +97,21 @@ def _dense_sdpa_remat(q: Array, k: Array, v: Array) -> Array:
     logits = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * (1.0 / d**0.5)
+    if real_len is not None and real_len < q.shape[1]:
+        # hoisted-padding stream on the dense path (CPU tests / forced mode):
+        # mask exactly like the flash segment ids — tokens past real_len form
+        # their own segment
+        seg = jnp.arange(q.shape[1]) >= real_len
+        same = seg[:, None] == seg[None, :]
+        logits = jnp.where(same[None, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def _dense_sdpa_remat(
+    q: Array, k: Array, v: Array, real_len: int | None = None
+) -> Array:
+    return _dense_sdpa_remat_impl(q, k, v, real_len)
 
 
 def attention(
@@ -105,11 +121,19 @@ def attention(
     *,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
+    real_len: int | None = None,
 ) -> tuple[Array, Array]:
     """``[B, S, E] -> ([B, S, E], v_state [B, S, H, D])``.
 
     Always returns the (post-mix) value state; callers that don't need it just
     drop it (the reference's ``return_value`` flag collapses to this).
+
+    ``real_len``: hoisted-padding token stream (round 5) — S is already
+    padded to the flash block multiple at the encoder level and only the
+    first ``real_len`` tokens are real. Attention masks the pad tokens into
+    their own segment (flash segment ids / dense logit mask); every other op
+    here is token-local, and pad rows receive zero cotangent from the
+    encoder's final slice, so weight gradients are exact.
     """
     b, s, _ = hidden_states.shape
     h, d = cfg.num_heads, cfg.head_dim
@@ -189,16 +213,23 @@ def attention(
     v_out = v
 
     if flash:
-        attn_output = flash_sdpa(q, k, v, kernel_layout=True)  # [B, H, S, D]
+        attn_output = flash_sdpa(
+            q, k, v, kernel_layout=True, real_len=real_len
+        )  # [B, H, S, D]
     elif os.environ.get("VIFORSDES_DENSE_REMAT", "1") != "0":
         # Default ON: device-op trace sums (the only noise-free yardstick on
         # this tunnel) measure 9.00 vs 9.25 ms/step at the OU headline —
         # remat trades +0.33 ms of recompute matmuls for −0.58 ms of
         # prob-residual HBM traffic (trace_ou_remat.json vs trace_ou.json).
         # VIFORSDES_DENSE_REMAT=0 restores the library SDPA (trace-time knob).
-        attn_output = _dense_sdpa_remat(q, k, v)
+        attn_output = _dense_sdpa_remat(q, k, v, real_len)
     else:
-        attn_output = jax.nn.dot_product_attention(q, k, v)
+        if real_len is not None and real_len < s:
+            seg = jnp.arange(s) >= real_len
+            mask = (seg[:, None] == seg[None, :])[None, None]
+            attn_output = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        else:
+            attn_output = jax.nn.dot_product_attention(q, k, v)
 
     if cfg.gate:
         gate_scores = jax.nn.sigmoid(linear(params["gate_proj"], hidden_states))

@@ -174,7 +174,8 @@ def _splash_sdpa(qh, kh, vh, real_len: int, sm_scale: float, *, interpret=False)
 
 
 def flash_sdpa(
-    q: Array, k: Array, v: Array, *, impl=None, kernel_layout: bool = False
+    q: Array, k: Array, v: Array, *, impl=None, kernel_layout: bool = False,
+    real_len: int | None = None,
 ) -> Array:
     """Non-causal flash attention over ``[B, S, H, D]`` tensors.
 
@@ -185,6 +186,13 @@ def flash_sdpa(
     back) ``[B, H, S, D]`` — the Mosaic kernel's native layout — skipping the
     boundary transposes (the round-3 trace showed the per-block layout
     round-trips costing several ms/step at the Lorenz shape, BASELINE.md).
+
+    ``real_len`` supports the hoisted-padding token stream (round 5): the
+    caller already padded the sequence axis to a block multiple ONCE at the
+    encoder level (instead of this function padding q/k/v around every kernel
+    call), and only the first ``real_len`` positions are real. Tokens past
+    ``real_len`` are masked exactly like locally-added padding (segment 1)
+    and the output keeps the caller's padded length (the caller slices once).
     """
     if kernel_layout:
         b, h, s, d = q.shape
@@ -195,16 +203,18 @@ def flash_sdpa(
         qh, kh, vh = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
     sm_scale = 1.0 / (d**0.5)
 
+    valid = s if real_len is None else real_len
     pad = (-s) % _FLASH_BLOCK
     segment_ids = None
     if pad:
         qh, kh, vh = (
             jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0))) for t in (qh, kh, vh)
         )
+    if pad or valid < s:
         # Real tokens are segment 0, pad tokens segment 1: pad queries attend
-        # only to pad keys (their rows are discarded below), real queries
-        # never see pad keys.
-        seg = jnp.zeros((b, s + pad), dtype=jnp.int32).at[:, s:].set(1)
+        # only to pad keys (their rows are discarded/ignored downstream),
+        # real queries never see pad keys.
+        seg = jnp.zeros((b, s + pad), dtype=jnp.int32).at[:, valid:].set(1)
         fa = _kernel()
         segment_ids = fa.SegmentIds(q=seg, kv=seg)
 
@@ -215,7 +225,7 @@ def flash_sdpa(
     # its lowering inside the big donated train-step program is pathological.
     # Do not flip without measuring the full step.
     if impl is None and os.environ.get("VIFORSDES_SPLASH") == "1":
-        out = _splash_sdpa(qh, kh, vh, s, sm_scale)
+        out = _splash_sdpa(qh, kh, vh, valid, sm_scale)
         if pad:
             out = out[:, :, :s, :]
         return out if kernel_layout else jnp.swapaxes(out, 1, 2)

@@ -90,6 +90,7 @@ def sit_block(
     cond: Array,
     rotary: RotaryTables | None = None,
     v0: Array | None = None,
+    real_len: int | None = None,
 ) -> tuple[Array, Array]:
     """One SiT block: ``([B,S,H], cond [B,S,C] or [B,C]) -> ([B,S,H], value_state)``.
 
@@ -112,6 +113,7 @@ def sit_block(
         modulated,
         rotary=rotary,
         v0=v0,
+        real_len=real_len,
     )
     hidden_states = hidden_states + attn_branch.gate(attn_out)
 
@@ -151,8 +153,15 @@ def sit(
     cond: Array,
     rotary: RotaryTables | None = None,
     remat: bool | None = None,
+    real_len: int | None = None,
 ) -> Array:
-    """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``)."""
+    """``[B, S, in_dim] -> [B, S, out_dim]`` (ref ``sit.py:162-186``).
+
+    ``real_len``: the hoisted-padding token stream (round 5) — S is padded to
+    the flash block multiple once at the encoder and only the first
+    ``real_len`` tokens are real. Attention isolates the pad tokens; every
+    other op is token-local, so no masking is needed between blocks (pad rows
+    carry zero cotangent from the encoder's final slice)."""
     if remat is None:
         from viforsdes_tpu.ops.flash_attention import use_flash_attention
 
@@ -164,7 +173,8 @@ def sit(
     for idx, block_params in enumerate(params["blocks"]):
         def block_fn(bp, tokens_, cond_, v0_, idx=idx):
             return sit_block(
-                bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_
+                bp, cfg, idx, tokens_, cond=cond_, rotary=rotary, v0=v0_,
+                real_len=real_len,
             )
 
         if remat:
