@@ -62,11 +62,15 @@ def bridge_stats(posterior, observations, batch: int = 256) -> dict:
         posterior.model.encoder, posterior.model.head, posterior.ema_params,
         jnp.asarray(obs_values), theta, x0, DT, posterior.state_space,
         jax.random.key(42), compute_dtype=jnp.float32,
+        sde=getattr(posterior, "sde", None),
     )
     z = np.asarray(sample.z)
     chol = np.asarray(sample.transition_cholesky)
     d = z.shape[-1]
-    diag = chol[..., np.arange(d), np.arange(d)]
+    if chol.ndim == 3:  # diag-cholesky head: [B, T, D] already diagonal
+        diag = chol
+    else:
+        diag = chol[..., np.arange(d), np.arange(d)]
 
     n_steps = chol.shape[1]
     landing = np.zeros(n_steps, bool)
@@ -88,7 +92,8 @@ def bridge_stats(posterior, observations, batch: int = 256) -> dict:
 
 
 def run_one(name: str, observations, *, iters: int, iw: int, batch: int,
-            obs_var_final: float | None, anneal_steps: int) -> dict:
+            obs_var_final: float | None, anneal_steps: int,
+            accum: int = 1) -> dict:
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=HighDimOU(),
@@ -101,6 +106,7 @@ def run_one(name: str, observations, *, iters: int, iw: int, batch: int,
                 time_step=DT, batch_size=batch, n_iterations=iters,
                 theta_warmup_steps=500, iw_samples=iw,
                 theta_full_covariance=True,
+                grad_accum_steps=accum,
                 obs_variance_final=obs_var_final,
                 obs_variance_anneal_steps=anneal_steps,
             ),
@@ -120,7 +126,7 @@ def run_one(name: str, observations, *, iters: int, iw: int, batch: int,
     z = (mean - np.asarray(TRUE_THETA)) / std
     out = {
         "name": name,
-        "iters": iters, "iw": iw, "batch": batch,
+        "iters": iters, "iw": iw, "batch": batch, "accum": accum,
         "obs_var_final": obs_var_final, "anneal_steps": anneal_steps,
         "seconds": round(elapsed, 1),
         "posterior_mean": dict(zip(("kappa", "mu", "sigma"), mean.tolist())),
@@ -141,10 +147,12 @@ def main() -> None:
 
     observations = simulate_observations(jax.random.key(3), obs_every=0.1)
     grid = {
-        # matched 4096 paths/step
-        "k1": dict(iw=1, batch=4096, obs_var_final=None, anneal_steps=0),
+        # matched 4096 paths/step; microbatch 1024 matches the r5 run's
+        # memory footprint (batch 4096 in ONE microbatch OOMs: 28 G > 15.75 G)
+        "k1": dict(iw=1, batch=4096, accum=4, obs_var_final=None,
+                   anneal_steps=0),
         "k8": dict(iw=8, batch=512, obs_var_final=None, anneal_steps=0),
-        "k1anneal": dict(iw=1, batch=4096, obs_var_final=1e-4,
+        "k1anneal": dict(iw=1, batch=4096, accum=4, obs_var_final=1e-4,
                          anneal_steps=args.iters // 2),
     }
     results = []

@@ -262,11 +262,15 @@ def run_highdim(
     grad_accum_steps: int = 1,
     obs_every: float = 0.25,
     obs_variance: float = 0.1,
+    obs_noise: float = 0.0,
     warmup: int = 500,
     init_std: float = 0.5,
     learn_obs_var: bool = False,
     obs_var_final: float | None = None,
     anneal_steps: int = 0,
+    head_dim: int = 128,
+    head_layers: int = 2,
+    head_chol: str = "full",
     checkpoint_every: int | None = None,
     resume_from: str | None = None,
     name: str = "highdim",
@@ -290,7 +294,14 @@ def run_highdim(
     # theta collapsed toward weak dynamics (kappa 1.06 -> 0.31-0.37) despite a
     # near-truth pretrain — the same degenerate-basin failure documented for
     # Lorenz-63 in BASELINE.md.
-    observations = simulate_observations(jax.random.key(3), obs_every=obs_every)
+    # obs_noise > 0 draws real observation noise so the claimed likelihood
+    # variance is correctly specified (set obs_noise = sqrt(obs_variance)):
+    # with NOISELESS data the exact optimum at claim 0.01 is sigma* = 0.391
+    # (z = 10 from truth) — unpassable for ANY inference method
+    # (benchmarks/highdim_claim_sweep.py; BASELINE.md round-5 verdict).
+    observations = simulate_observations(
+        jax.random.key(3), obs_every=obs_every, noise_std=obs_noise
+    )
     t0 = time.perf_counter()
     posterior = vt.infer(
         sde=HighDimOU(),
@@ -309,7 +320,9 @@ def run_highdim(
                 obs_variance_anneal_steps=anneal_steps,
             ),
             encoder=vt.EncoderConfig(hidden_dim=256, num_heads=4, depth=8),
-            head=vt.HeadConfig(hidden_dim=128, num_layers=2),
+            head=vt.HeadConfig(
+                hidden_dim=head_dim, num_layers=head_layers, cholesky=head_chol
+            ),
             sde_param_positive_dims=[0, 2],
             sde_param_init_std=init_std,
             param_names=["kappa", "mu", "sigma"],
@@ -329,8 +342,16 @@ def run_highdim(
         name, posterior, ["kappa", "mu", "sigma"], n_iterations, elapsed,
         true_params=true_theta,
     )
+    # Bridge health (round 5): the ladder-5 failures were traced to the
+    # variational bridges saturating the DIAG_MIN cholesky floor
+    # (benchmarks/bridge_diagnosis.py, BASELINE.md) — report the transition
+    # stats with every run so collapse is visible in the artifact.
+    from highdim_ab import bridge_stats
+
+    result["bridge"] = bridge_stats(posterior, observations)
     result["config"] = {
         "obs_every": obs_every,
+        "obs_noise": obs_noise,
         "obs_variance": obs_variance,
         "iw_samples": iw_samples,
         "theta_full_covariance": full_cov,
@@ -338,7 +359,9 @@ def run_highdim(
         "grad_accum_steps": grad_accum_steps,
         "theta_warmup_steps": warmup,
         "sde_param_init_std": init_std,
-        "head_dim": 128,
+        "head_dim": head_dim,
+        "head_layers": head_layers,
+        "head_chol": head_chol,
         "pretrain_global_objective": vt.PretrainConfig().global_objective,
         "learn_obs_variance": learn_obs_var,
         "learned_obs_variance": posterior.observation_variance(),
@@ -493,11 +516,15 @@ if __name__ == "__main__":
             ("--accum", int, "grad_accum_steps"),
             ("--obs-every", float, "obs_every"),
             ("--obs-variance", float, "obs_variance"),
+            ("--obs-noise", float, "obs_noise"),
             ("--warmup", int, "warmup"),
             ("--init-std", float, "init_std"),
             ("--ckpt-every", int, "checkpoint_every"),
             ("--obs-var-final", float, "obs_var_final"),
             ("--anneal-steps", int, "anneal_steps"),
+            ("--head-dim", int, "head_dim"),
+            ("--head-layers", int, "head_layers"),
+            ("--chol", str, "head_chol"),
             ("--resume", str, "resume_from"),
             ("--name", str, "name"),
         ]:

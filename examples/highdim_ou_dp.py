@@ -34,13 +34,30 @@ class HighDimOU:
         return sigma[..., None] * eye
 
 
-def simulate_observations(key, obs_every: float = 1.0):
+def simulate_observations(key, obs_every: float = 1.0, noise_std: float = 0.0):
+    """Simulate the d=32 OU trajectory and observe it every ``obs_every``.
+
+    ``noise_std`` adds real i.i.d. Gaussian observation noise. The default 0
+    (noiseless, kept for artifact continuity) makes any likelihood that
+    claims variance v > 0 MISSPECIFIED — the exact Kalman MLE at claim 0.01
+    then sits at sigma* = 0.391 vs true 0.5 (z = 10; benchmarks/
+    highdim_claim_sweep.py), so parameter-recovery runs against noiseless
+    data must anneal the claim toward 0 to have a passable optimum. Set
+    ``noise_std = sqrt(claimed variance)`` for a correctly-specified
+    benchmark (the claim-0.01 optimum is then z = 0.28/1.26/0.21 from truth).
+    """
     sde = HighDimOU()
     x0 = 2.0 * jnp.ones((1, STATE_DIM))
     theta = jnp.asarray([[1.2, 0.8, 0.5]])
     traj = vt.euler_maruyama(sde, x0, theta, 5.0, 0.01, key=key)
     idx = np.arange(0, 501, round(obs_every / 0.01))
-    return vt.Observations(times=(idx * 0.01).tolist(), values=np.asarray(traj[0, idx]))
+    values = np.asarray(traj[0, idx])
+    if noise_std > 0.0:
+        rng = np.random.default_rng(3)
+        noise = noise_std * rng.standard_normal(values.shape)
+        noise[0] = 0.0  # x0 is conditioned on exactly (trainer pins it)
+        values = values + noise.astype(values.dtype)
+    return vt.Observations(times=(idx * 0.01).tolist(), values=values)
 
 
 def main() -> None:

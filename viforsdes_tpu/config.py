@@ -240,6 +240,22 @@ class HeadConfig(YamlConfig):
     # ~9% faster full-step), lax.scan elsewhere; or force "scan" / "pallas".
     sampler: str = "auto"
     sampler_block_b: int = 128
+    # Transition-scale parameterization: "full" = lower-triangular Cholesky,
+    # d(d+1)/2 outputs (reference parity); "diag" = per-dim diagonal scale,
+    # d outputs. For SDEs with (near-)diagonal bridge covariance, diag mode
+    # removes the O(d^2) output block that dominates the head at large
+    # state_dim (528 of 560 outputs at d=32). "matched" = diffusion-matched
+    # bridge: the variational transition scale is the SDE's own diffusion
+    # Cholesky g(x_t, theta) (chain-ruled into latent space) times a learned
+    # per-dim correction exp(c), zero-init => exactly matched at init. A
+    # diffusion bridge has the SAME diffusion coefficient as its SDE (Doob
+    # h-transform), and the continuous-time KL is finite only when they
+    # match — so matched mode removes the free-Cholesky failure mode where
+    # the bridge's quadratic variation collapses to the DIAG_MIN floor and
+    # drags the sigma posterior with it (the measured ladder-5 mechanism,
+    # BASELINE.md / benchmarks/bridge_diagnosis.py). Requires the scan
+    # sampler (the user's diffusion fn runs inside the recurrence).
+    cholesky: str = "full"
 
     @field_validator("hidden_dim", "num_layers", "sampler_block_b")
     @classmethod
@@ -253,6 +269,13 @@ class HeadConfig(YamlConfig):
     def validate_sampler(cls, v: str) -> str:
         if v not in ("auto", "scan", "pallas"):
             raise ValueError("sampler must be 'auto', 'scan' or 'pallas'")
+        return v
+
+    @field_validator("cholesky")
+    @classmethod
+    def validate_cholesky(cls, v: str) -> str:
+        if v not in ("full", "diag", "matched"):
+            raise ValueError("cholesky must be 'full', 'diag' or 'matched'")
         return v
 
 

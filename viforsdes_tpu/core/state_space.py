@@ -50,3 +50,16 @@ class StateSpace:
         if not self._any:
             return jnp.zeros(z.shape[:-1], dtype=z.dtype)
         return jnp.sum(jnp.where(self._mask, jax.nn.log_sigmoid(z), 0.0), axis=-1)
+
+    def latent_jacobian_diag(self, z: Array) -> Array:
+        """Per-dim ``dz/dx`` evaluated at ``x = to_state(z)``: ``[...,D] -> [...,D]``.
+
+        The bijection is elementwise, so its Jacobian is diagonal:
+        ``1/sigmoid(z)`` on positive dims (inverse of ``d softplus/dz``),
+        1 elsewhere. Used by the diffusion-matched bridge (head
+        ``cholesky="matched"``) to map the SDE's state-space diffusion
+        Cholesky into latent space: ``L_z = diag(dz/dx) @ L_x``.
+        """
+        if not self._any:
+            return jnp.ones_like(z)
+        return jnp.where(self._mask, 1.0 / jax.nn.sigmoid(z), 1.0)

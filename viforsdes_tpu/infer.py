@@ -196,4 +196,5 @@ def infer(
         evidence_lower_bound_history=state.evidence_lower_bound_history,
         x0=cfg.x0,
         seed=cfg.seed,
+        sde=sde,
     )

@@ -57,8 +57,20 @@ def tril_solve_unrolled(L: Array, b: Array) -> Array:
 
 def gaussian_log_prob(x: Array, mu: Array, L: Array) -> Array:
     """``log N(x; mu, L L^T)`` summed over time: ``[B,T,D] -> [B]``
-    (ref ``elbo.py:77-83``)."""
+    (ref ``elbo.py:77-83``).
+
+    ``L`` is either a lower-triangular ``[..., D, D]`` or — the head's
+    diag-cholesky mode — a diagonal scale ``[..., D]`` (same ndim as ``x``),
+    in which case the solve collapses to an elementwise divide."""
     d = x.shape[-1]
+    if L.ndim == x.ndim:
+        y = (x - mu) / L
+        per_step = (
+            -0.5 * jnp.sum(y * y, axis=-1)
+            - jnp.sum(jnp.log(L), axis=-1)
+            - 0.5 * d * _LOG_2PI
+        )
+        return jnp.sum(per_step, axis=-1)
     if d <= 4:
         # unrolled forward substitution: a few fused VPU ops for tiny D
         y = tril_solve_unrolled(L, x - mu)

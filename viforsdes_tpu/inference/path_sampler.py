@@ -31,6 +31,7 @@ def sample_diffusion_paths(
     key: Array,
     *,
     compute_dtype=jnp.bfloat16,
+    sde=None,
 ) -> DiffusionPathSample:
     batch_size, state_dim = x0.shape
 
@@ -44,7 +45,14 @@ def sample_diffusion_paths(
     z0 = state_space.to_latent(x0)
 
     paths, transition_means, transition_cholesky = head.sample_diffusion_paths(
-        params["head"], z0, context[:, :-1], sde_parameters, noise, time_step
+        params["head"],
+        z0,
+        context[:, :-1],
+        sde_parameters,
+        noise,
+        time_step,
+        sde=sde,  # only consumed by the diffusion-matched bridge (head
+        state_space=state_space,  # cholesky="matched")
     )
 
     return DiffusionPathSample(

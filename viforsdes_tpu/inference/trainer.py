@@ -345,6 +345,7 @@ class VariationalInferenceTrainer:
             self.state_space,
             k_path,
             compute_dtype=self.config.compute_dtype.value_dtype,
+            sde=self.sde,
         )
         if self.config.obs_variance_final is not None:
             obs_variance = self._annealed_obs_variance(step)

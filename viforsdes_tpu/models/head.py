@@ -84,7 +84,31 @@ class DiffusionTransitionHead:
         self.sde_param_dim = sde_param_dim
         self.hidden_dim = config.hidden_dim
         self.num_layers = config.num_layers
-        self.n_tril = state_dim * (state_dim + 1) // 2
+        # cholesky="diag": the transition scale is a per-dim diagonal (d
+        # outputs) instead of a full lower triangle (d(d+1)/2). Beyond the
+        # reference (always full-tril): at large state_dim the full triangle
+        # dominates the head's output layer (528 of 560 outputs at d=32) and
+        # its O(d^2) per-step matmul — for SDEs whose bridge covariance is
+        # (near-)diagonal, diag mode removes both. Cholesky arrays are then
+        # [..., D] everywhere downstream (ELBO, diagnostics).
+        #
+        # cholesky="matched": the diffusion-matched bridge (see
+        # HeadConfig.cholesky). The head emits d per-dim log-corrections c;
+        # the transition scale is L_q = diag(dz/dx) @ g(x_t, theta) *
+        # exp(softcap(c)) built inside the recurrence from the USER's
+        # diffusion — so this mode always runs the lax.scan sampler (a user
+        # jnp function cannot run inside the Pallas kernel).
+        self.cholesky = config.cholesky
+        if self.cholesky in ("diag", "matched"):
+            self.n_tril = state_dim
+        else:
+            self.n_tril = state_dim * (state_dim + 1) // 2
+        if self.cholesky == "matched" and config.sampler == "pallas":
+            raise ValueError(
+                "cholesky='matched' evaluates the user's diffusion inside the"
+                " recurrence and requires the scan sampler; set sampler to"
+                " 'auto' or 'scan'"
+            )
         self.input_dim = state_dim + context_dim + sde_param_dim
         self.sampler = config.sampler
         self.sampler_block_b = config.sampler_block_b
@@ -118,8 +142,15 @@ class DiffusionTransitionHead:
                 }
             )
         out_b = np.zeros(self.state_dim + self.n_tril, dtype=np.float32)
-        for kk in range(self.state_dim):
-            out_b[self.state_dim + kk * (kk + 3) // 2] = 1.0
+        if self.cholesky == "diag":
+            out_b[self.state_dim :] = 1.0
+        elif self.cholesky == "matched":
+            # log-corrections stay 0: exp(0) = 1 => the bridge diffusion
+            # equals the SDE's exactly at init
+            pass
+        else:
+            for kk in range(self.state_dim):
+                out_b[self.state_dim + kk * (kk + 3) // 2] = 1.0
         return {
             "gru": gru,
             "out_proj": {
@@ -140,6 +171,53 @@ class DiffusionTransitionHead:
         L = jnp.zeros(out_shape, params_tril.dtype)
         return L.at[..., self.tril_rows, self.tril_cols].set(processed)
 
+    def chol_from_params(self, raw: Array) -> Array:
+        """Raw chol outputs -> the transition scale in this head's layout:
+        full mode ``[..., n_tril] -> [..., D, D]`` tril matrix; diag mode
+        ``[..., D] -> [..., D]`` clamped diagonal. (Matched mode builds its
+        scale from the SDE's diffusion instead — ``matched_chol``.)"""
+        if self.cholesky == "diag":
+            return lower_bound(raw, DIAG_MIN)
+        return self.tril_from_params(raw)
+
+    # ------------------------------------------------- diffusion-matched mode
+
+    # Soft cap on the matched-mode log-correction: |c| <= CORR_CAP bounds the
+    # learned multiplier to [e^-4, e^4] (smooth tanh saturation, unit slope
+    # at 0) so a transient gradient spike cannot exp-overflow the bridge.
+    CORR_CAP = 4.0
+
+    def matched_chol(
+        self,
+        z: Array,
+        sde_parameters: Array,
+        raw_corr: Array,
+        sde,
+        state_space,
+    ) -> Array:
+        """Diffusion-matched transition scale: ``L_q = diag(dz/dx) @
+        g(to_state(z), theta) * exp(softcap(c))`` with the diag clamped by the
+        shared ``lower_bound`` STE.
+
+        The true conditional bridge of an SDE has the SAME diffusion
+        coefficient as the SDE (Doob h-transform) — the head only needs to
+        learn the bridge DRIFT, so the free-Cholesky family's collapse mode
+        (bridge quadratic variation pinned at the DIAG_MIN floor, dragging the
+        sigma posterior with it — the measured ladder-5 mechanism) is
+        structurally unreachable: here q's quadratic variation tracks theta by
+        construction. Replaces the raw-output path of ref ``head.py:88-97``;
+        ``c`` is zero-init so the bridge diffusion equals the SDE's at init.
+        """
+        x = state_space.to_state(z)
+        L_x = sde.diffusion(x, sde_parameters)
+        jac = state_space.latent_jacobian_diag(z)
+        corr = self.CORR_CAP * jnp.tanh(raw_corr / self.CORR_CAP)
+        scale = jac * jnp.exp(corr)  # [..., D]: per-row (= per output dim)
+        L = scale[..., None] * L_x
+        ar = np.arange(self.state_dim)
+        diag = lower_bound(L[..., ar, ar], DIAG_MIN)
+        return L.at[..., ar, ar].set(diag)
+
     # -------------------------------------------------------- step-wise path
 
     def forward(
@@ -149,10 +227,15 @@ class DiffusionTransitionHead:
         context_t: Array,
         sde_parameters: Array,
         hidden: Array | None = None,
+        *,
+        sde=None,
+        state_space=None,
     ) -> tuple[Array, Array, Array]:
         """Single eager step (the unit-test oracle; ref ``head.py:68-86``).
 
         hidden: ``[L, B, H]`` or None -> zeros. Returns (mu, L, hidden').
+        Matched mode additionally needs ``sde`` and ``state_space`` (``x_t``
+        is latent-space, as everywhere in the head).
         """
         batch = x_t.shape[0]
         if hidden is None:
@@ -167,7 +250,13 @@ class DiffusionTransitionHead:
             h_in = h_new
         out = jnp.dot(h_in, params["out_proj"]["w"], precision=_FP32) + params["out_proj"]["b"]
         mu = out[..., : self.state_dim]
-        L = self.tril_from_params(out[..., self.state_dim :])
+        raw = out[..., self.state_dim :]
+        if self.cholesky == "matched":
+            if sde is None or state_space is None:
+                raise ValueError("cholesky='matched' needs sde and state_space")
+            L = self.matched_chol(x_t, sde_parameters, raw, sde, state_space)
+        else:
+            L = self.chol_from_params(raw)
         return mu, L, jnp.stack(new_hidden)
 
     # ------------------------------------------------------- shared precompute
@@ -212,6 +301,7 @@ class DiffusionTransitionHead:
                     diag_min=DIAG_MIN,
                     block_b=self.sampler_block_b,
                     interpret=interpret,
+                    cholesky=self.cholesky,
                 )
             )
         return self._fused_samplers[key]
@@ -219,6 +309,8 @@ class DiffusionTransitionHead:
     def _sample_pallas(self, params, x0, gates_const, noise, time_step):
         sampler = self._fused_sampler(time_step)
         paths, means, chol_vals = sampler(params, x0, gates_const, noise)
+        if self.cholesky == "diag":
+            return paths, means, chol_vals  # [B, T, D] diagonal scale
         out_shape = chol_vals.shape[:-1] + (self.state_dim, self.state_dim)
         L = jnp.zeros(out_shape, chol_vals.dtype)
         L = L.at[..., self.tril_rows, self.tril_cols].set(chol_vals)
@@ -234,10 +326,14 @@ class DiffusionTransitionHead:
         sde_parameters: Array,
         standard_noise: Array,
         time_step: float,
+        *,
+        sde=None,
+        state_space=None,
     ) -> tuple[Array, Array, Array]:
         """Roll the full path: ``(z0 [B,D], context [B,T,C], theta [B,P],
         eps TIME-MAJOR [T,B,D]) -> (paths [B,T+1,D], means [B,T,D],
-        chol [B,T,D,D])``.
+        chol [B,T,D,D])``. Matched mode requires ``sde``/``state_space``
+        (the user's diffusion runs inside the recurrence).
 
         Functional replacement for ``_SDEFunction.apply`` + both Triton kernels
         (ref ``kernels/autograd.py:35-268``). fp32 throughout. The noise and
@@ -255,7 +351,11 @@ class DiffusionTransitionHead:
         gates_const, w_x = self._gates_const(params, context, sde_parameters)
 
         sampler = self.sampler
-        if sampler == "auto":
+        if self.cholesky == "matched":
+            if sde is None or state_space is None:
+                raise ValueError("cholesky='matched' needs sde and state_space")
+            sampler = "scan"  # user diffusion fn runs inside the recurrence
+        elif sampler == "auto":
             # Interleaved same-process measurement on v5e (OU headline
             # config): full train step 10.0 ms with the fused kernel vs
             # 10.9 ms with the scan (kernel alone: fwd 0.59 vs 0.73 ms,
@@ -278,6 +378,15 @@ class DiffusionTransitionHead:
 
         h0 = jnp.zeros((self.num_layers, batch, h), jnp.float32)
 
+        if self.cholesky == "diag":
+            def apply_noise(L, eps_t):
+                return L * eps_t
+        else:
+            def apply_noise(L, eps_t):
+                return jnp.einsum("bij,bj->bi", L, eps_t, precision=_FP32)
+
+        theta_f32 = sde_parameters.astype(jnp.float32)
+
         def step(carry, inputs):
             x, hs = carry
             g_const, eps_t = inputs
@@ -294,8 +403,11 @@ class DiffusionTransitionHead:
 
             out = jnp.dot(h_in, w_out, precision=_FP32) + b_out
             mu = out[..., :d]
-            L = self.tril_from_params(out[..., d:])
-            x_next = x + mu * dt + jnp.einsum("bij,bj->bi", L, eps_t, precision=_FP32) * sqrt_dt
+            if self.cholesky == "matched":
+                L = self.matched_chol(x, theta_f32, out[..., d:], sde, state_space)
+            else:
+                L = self.chol_from_params(out[..., d:])
+            x_next = x + mu * dt + apply_noise(L, eps_t) * sqrt_dt
             return (x_next, jnp.stack(new_hs)), (x_next, mu, L)
 
         (_, _), (xs, mus, Ls) = jax.lax.scan(step, (x0, h0), (gates_const_t, noise_t))

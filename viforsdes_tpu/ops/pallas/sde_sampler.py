@@ -98,15 +98,31 @@ class SamplerSpec(NamedTuple):
     # so its chunk is kept smaller to fit the VMEM budget
     max_t_chunk_bwd: int = 5
     interpret: bool = False
+    # "full" = lower-triangular Cholesky (n_tril = d(d+1)/2 outputs);
+    # "diag" = diagonal transition scale (d outputs). The kernel body is
+    # index-generic — diag mode is R = C = I with every entry clamped — so
+    # both modes share the same fwd/bwd kernels.
+    cholesky: str = "full"
 
     @property
     def n_tril(self) -> int:
+        if self.cholesky == "diag":
+            return self.state_dim
         return self.state_dim * (self.state_dim + 1) // 2
 
 
-def _tril_onehots(d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """R[k] = one-hot(row_k), C[k] = one-hot(col_k), diag mask [n_tril]."""
-    rows, cols = np.tril_indices(d)
+def _tril_onehots(
+    d: int, cholesky: str = "full"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """R[k] = one-hot(row_k), C[k] = one-hot(col_k), diag mask [n_tril].
+
+    ``cholesky="diag"``: k indexes the diagonal only, so R = C = I and the
+    whole mask is True — ``((vals * (eps @ C^T)) @ R)`` reduces to
+    ``vals * eps``."""
+    if cholesky == "diag":
+        rows = cols = np.arange(d)
+    else:
+        rows, cols = np.tril_indices(d)
     n = len(rows)
     R = np.zeros((n, d), np.float32)
     C = np.zeros((n, d), np.float32)
@@ -496,7 +512,7 @@ def _prep_weights(spec: SamplerSpec, weights: dict):
         b_hh_st = jnp.zeros((L1, 3 * h), jnp.float32)
     w_out = weights["out_proj"]["w"].astype(jnp.float32)
     b_out = weights["out_proj"]["b"].astype(jnp.float32).reshape(1, -1)
-    R, C, diag = _tril_onehots(d)
+    R, C, diag = _tril_onehots(d, spec.cholesky)
     return (
         w_x,
         w_hh0,
@@ -555,7 +571,7 @@ class FusedPathSampler:
         paths = jnp.concatenate([x0[:, None, :], paths_rest], axis=1)
         means = raw[:, :, :d]
         raw_tril = raw[:, :, d:]
-        diag = jnp.asarray(_tril_onehots(d)[2])
+        diag = jnp.asarray(_tril_onehots(d, self.spec.cholesky)[2])
         chol_vals = jnp.where(diag, jnp.maximum(raw_tril, self.spec.diag_min), raw_tril)
         return paths, means, chol_vals
 

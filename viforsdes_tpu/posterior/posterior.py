@@ -85,7 +85,16 @@ class VariationalPosterior:
         *,
         x0: Array | None = None,
         seed: int = 0,
+        sde=None,
     ) -> None:
+        # the SDE is only needed when the head uses the diffusion-matched
+        # bridge (cholesky="matched"): eval-time path sampling then evaluates
+        # the user's diffusion inside the recurrence
+        if sde is None and model.head.cholesky == "matched":
+            raise ValueError(
+                "head cholesky='matched' needs the sde passed to the posterior"
+            )
+        self.sde = sde
         self.model = model
         self.params = params
         self.ema_params = ema_params
@@ -126,6 +135,7 @@ class VariationalPosterior:
             self.state_space,
             k_path,
             compute_dtype=jnp.float32,  # eval runs full precision (no autocast in ref eval)
+            sde=self.sde,
         )
         return theta, sample.x
 
@@ -219,6 +229,7 @@ class VariationalPosterior:
         observations: Observations,
         *,
         init_key: Array | None = None,
+        sde=None,
     ) -> "VariationalPosterior":
         template = model.init(
             init_key if init_key is not None else jax.random.key(0)
@@ -248,4 +259,5 @@ class VariationalPosterior:
             state_space=state_space,
             evidence_lower_bound_history=meta["evidence_lower_bound_history"],
             x0=None if x0 is None else jnp.asarray(x0, dtype=jnp.float32),
+            sde=sde,
         )
