@@ -14,6 +14,11 @@ cd /root/repo/benchmarks
 STALL_S=2400           # compile ~20min + first ckpt ~10min after resume
 POLL_S=120
 
+# Persistent compilation cache: every resume otherwise pays the full ~20 min
+# remote compile of the big IW-8/accum-4 program on this tunnel.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-10}"
+
 for attempt in $(seq 0 "$MAX_RESUMES"); do
   if [ -f "$RESULT" ]; then echo "[babysit] $RESULT exists; done"; exit 0; fi
   CMD=(python quality_eval.py highdim "${ARGS[@]}" --ckpt-every 2500 --name "$NAME")
