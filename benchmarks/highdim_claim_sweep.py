@@ -107,21 +107,33 @@ def mle_at_claim(y: np.ndarray, v: float, dt: float):
 
 
 def main() -> None:
+    global GAP
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from highdim_ou_dp import simulate_observations
 
+    if "--gap" in sys.argv:
+        # observation spacing of the dataset under analysis (0.1 = the
+        # committed ladder-5 recipe's 51-obs dataset; 0.25 = run_highdim's
+        # default 21-obs dataset)
+        i = sys.argv.index("--gap")
+        GAP = float(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
     obs = simulate_observations(jax.random.key(3), obs_every=GAP)
     y = np.asarray(obs.values, dtype=np.float64)
     noisy = "--noisy" in sys.argv
     if noisy:
         # correctly-specified variant: add the claimed observation noise to
         # the data (y = x + N(0, 0.01)); the MLE is then consistent and the
-        # sweep reports how far the CORRECT model's optimum sits from truth
+        # sweep reports how far the CORRECT model's optimum sits from truth.
+        # Matches simulate_observations(noise_std=0.1) exactly, including the
+        # zeroed first row (x0 is conditioned on, never noised).
         sys.argv.remove("--noisy")
         rng = np.random.default_rng(3)
-        y = y + 0.1 * rng.standard_normal(y.shape)
+        noise = 0.1 * rng.standard_normal(y.shape)
+        noise[0] = 0.0
+        y = y + noise
     dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
 
     rows = []
@@ -141,6 +153,8 @@ def main() -> None:
               f"{z[0]:5.2f} {z[1]:5.2f} {z[2]:5.2f}")
 
     name = "results_claim_sweep_noisy.json" if noisy else "results_claim_sweep.json"
+    if GAP != 0.1:
+        name = name.replace(".json", f"_gap{GAP:g}.json")
     out = Path(__file__).parent / name
     out.write_text(json.dumps({"dt": dt, "noisy": noisy, "rows": rows}, indent=1))
     print(f"wrote {out}")
